@@ -1,0 +1,198 @@
+"""Token-budget sliding-window chunking with boundary heuristics.
+
+Re-expresses the semantics of reference ``data_preprocessing/chunking.py``
+(144-301): sliding window in token space with overlap ``stride``, end-of-chunk
+backoff preferring sentence terminators then word boundaries
+(chunking.py:94-141), char-start backed up to word start and char-end extended
+over separators so the union of chunk char ranges covers the document with no
+gaps (chunking.py:243-262), and a re-tokenization shrink loop that guarantees
+each chunk fits ``max_length`` (chunking.py:264-285).
+
+Invariants (enforced by the property suite in ``tests/test_chunking.py``,
+mirroring the reference's fail-fast checks at build_finetune_jsonl.py:238-291):
+
+* chunks[0].char_start == 0, chunks[-1].char_end == len(text)
+* consecutive chunks overlap or touch: next.char_start <= cur.char_end
+* every chunk re-tokenizes to <= max_length tokens (with specials)
+* chunk.text == text[char_start:char_end]
+
+Chunking is doc-local: in the Spark engine it runs inside one Arrow batch of
+``mapInPandas`` and never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pii_core.tokenizer import WordTokenizer
+
+SENTENCE_ENDS = frozenset({".", "!", "?", "\n"})
+WORD_EXTRA = frozenset({"'", "’", "-", "_"})
+
+
+class Chunk(NamedTuple):
+    text: str
+    char_start: int
+    char_end: int
+    chunk_index: int
+
+
+def _wordish(ch: str) -> bool:
+    return ch.isalnum() or ch in WORD_EXTRA
+
+
+def _boundary_at(text: str, pos: int) -> bool:
+    """Cursor position ``pos`` sits between a word char on both sides? Then
+    it is NOT a boundary (reference chunking.py:39-47)."""
+    if pos <= 0 or pos >= len(text):
+        return True
+    return not (_wordish(text[pos - 1]) and _wordish(text[pos]))
+
+
+def _word_start_before(text: str, pos: int) -> int:
+    p = min(max(pos, 0), len(text))
+    while p > 0 and _wordish(text[p - 1]):
+        p -= 1
+    return p
+
+
+def _extend_over_separators(text: str, pos: int, limit: int) -> int:
+    p = min(max(pos, 0), len(text))
+    lim = min(max(limit, 0), len(text))
+    while p < lim and not _wordish(text[p]):
+        p += 1
+    return p
+
+
+def _trailing_nonspace(text: str, end: int) -> str | None:
+    i = min(end, len(text)) - 1
+    while i >= 0 and text[i].isspace():
+        i -= 1
+    return text[i] if i >= 0 else None
+
+
+def _score_end_candidates(
+    text: str,
+    offsets: list[tuple[int, int]],
+    tentative_end: int,
+    hard_min_end: int,
+    backoff: int,
+) -> int:
+    """Choose an end token (exclusive) within ``backoff`` of the tentative end.
+
+    Scoring per reference chunking.py:94-141: sentence terminator = 3, plain
+    word boundary = 1, ``score*10 - distance``; falls back to the tentative
+    end when nothing qualifies.
+    """
+    if tentative_end <= hard_min_end or backoff <= 0:
+        return tentative_end
+    best, best_score = None, -1
+    deepest = min(backoff, tentative_end - hard_min_end)
+    for d in range(deepest + 1):
+        cand = tentative_end - d
+        if cand <= hard_min_end:
+            break
+        cut = offsets[cand - 1][1]
+        if not _boundary_at(text, cut):
+            continue
+        last = _trailing_nonspace(text, cut)
+        if last is None:
+            continue
+        base = 3 if last in SENTENCE_ENDS else 1
+        score = base * 10 - d
+        if score > best_score:
+            best, best_score = cand, score
+            if d == 0 and base == 3:
+                break
+    return best if best is not None else tentative_end
+
+
+def build_chunks(
+    text: str,
+    tokenizer: WordTokenizer,
+    *,
+    max_length: int = 512,
+    stride: int = 64,
+    boundary_backoff: int = 32,
+) -> list[Chunk]:
+    """Split ``text`` into overlapping, budget-respecting chunks."""
+    if not isinstance(text, str) or not text:
+        return [Chunk("", 0, 0, 0)]
+    if max_length <= 8:
+        raise ValueError(f"max_length too small: {max_length}")
+    budget = int(max_length) - tokenizer.num_special_tokens
+    if budget <= 0:
+        raise ValueError(f"max_length={max_length} leaves no token budget")
+    if not (0 <= stride < budget):
+        raise ValueError(f"stride must satisfy 0 <= stride < {budget}; got {stride}")
+    step = budget - stride
+
+    offsets = tokenizer.encode(text)
+    n = len(offsets)
+    if n == 0 or n <= budget:
+        # Whole text fits one window: skip boundary heuristics entirely
+        # (reference chunking.py:195-198).
+        return [Chunk(text, 0, len(text), 0)]
+
+    chunks: list[Chunk] = []
+    start_tok = 0
+    idx = 0
+    while start_tok < n:
+        tentative_end = min(start_tok + budget, n)
+        # End may never back off before the next window's start token, or
+        # the union would have gaps (reference chunking.py:206-209).
+        hard_min_end = max(start_tok + 1, min(tentative_end, start_tok + step))
+
+        if start_tok + step >= n:
+            end_tok = tentative_end  # last window must cover the tail
+        else:
+            end_tok = _score_end_candidates(
+                text, offsets, tentative_end, hard_min_end, int(boundary_backoff)
+            )
+        if end_tok <= start_tok:
+            raise RuntimeError(f"chunker made no progress at start_tok={start_tok}")
+        if end_tok < hard_min_end:
+            raise RuntimeError(
+                f"end_tok={end_tok} < hard_min_end={hard_min_end} at start_tok={start_tok}"
+            )
+
+        raw_start = offsets[start_tok][0]
+        if offsets[end_tok - 1][1] <= raw_start:
+            raise RuntimeError(f"empty char span at start_tok={start_tok}")
+
+        char_start = _word_start_before(text, raw_start)
+
+        # Back off tokens while the char end would cut mid-word
+        # (continuation subword pieces — reference chunking.py:245-251).
+        while end_tok > hard_min_end and not _boundary_at(text, offsets[end_tok - 1][1]):
+            end_tok -= 1
+
+        def _char_end_for(e: int) -> int:
+            ce = offsets[e - 1][1]
+            nxt = offsets[e][0] if e < n else len(text)
+            return _extend_over_separators(text, ce, nxt)
+
+        char_end = _char_end_for(end_tok)
+        if char_end <= char_start:
+            raise RuntimeError(f"invalid span after tightening at start_tok={start_tok}")
+
+        # Word-aligned boundaries can grow token count on re-tokenization;
+        # shrink until the chunk fits (reference chunking.py:264-285).
+        while tokenizer.encoded_len_with_specials(text[char_start:char_end]) > max_length:
+            if end_tok <= hard_min_end:
+                raise RuntimeError(
+                    f"chunk exceeds max_length={max_length} at hard minimum end "
+                    f"(start_tok={start_tok}); increase max_length or stride"
+                )
+            end_tok -= 1
+            char_end = _char_end_for(end_tok)
+            if char_end <= char_start:
+                raise RuntimeError(f"invalid span while shrinking at start_tok={start_tok}")
+
+        chunks.append(Chunk(text[char_start:char_end], char_start, char_end, idx))
+        idx += 1
+        if end_tok >= n:
+            break
+        start_tok += step
+
+    return chunks

@@ -1,0 +1,157 @@
+"""HTML main-content extraction (boilerplate strip). [NORTH-ONLY]
+
+The north rule requires a DOM-heuristic main-content stage (tag-density,
+link-ratio, text-block segmentation) ahead of PII extraction; the reference
+has no HTML handling, so this spec is defined here from public
+boilerplate-removal literature (Arc90 Readability / Boilerpipe-style
+heuristics) and FROZEN — golden tests in tests/test_html_extract.py pin the
+exact output so "byte-identical extracted text per url" is a testable
+invariant.
+
+Spec (deterministic, document order):
+1. Parse with the stdlib HTMLParser (convert_charrefs=True → entities decoded).
+2. Content inside script/style/noscript/template/svg/head/nav/header/footer/
+   aside/form/button/iframe is dropped, as is any element whose class or id
+   matches the BOILERPLATE_HINT regex (menu/nav/footer/sidebar/ad/banner/
+   cookie/comment/share/promo).
+3. Text accumulates into blocks delimited by block-level tags; per block we
+   track total chars and chars contributed inside <a> (link chars).
+4. A block is kept iff its normalized text has
+     - >= 8 chars for headings h1-h3 with link_ratio < 0.5, or
+     - >= 25 chars with link_ratio <= 1/3 otherwise.
+5. Normalization: runs of whitespace collapse to a single space; block text is
+   stripped. Kept blocks join with "\n\n".
+6. Empty/undecodable html → "".
+
+Pure stdlib; runs vectorized over Arrow batches in the Spark engine.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+_DROP_SUBTREE = frozenset({
+    "script", "style", "noscript", "template", "svg", "head", "nav",
+    "header", "footer", "aside", "form", "button", "iframe",
+})
+_BLOCK_TAGS = frozenset({
+    "p", "div", "section", "article", "main", "li", "td", "th", "blockquote",
+    "pre", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "table", "tr",
+    "br", "body",
+})
+_HEADINGS = frozenset({"h1", "h2", "h3"})
+BOILERPLATE_HINT = re.compile(
+    r"(?:^|[\s_-])(?:menu|nav|navbar|footer|sidebar|side-bar|ad|ads|advert|"
+    r"banner|cookie|comment|comments|share|social|promo|related|breadcrumb)"
+    r"(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+_WS_RUN = re.compile(r"\s+")
+
+_VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
+
+
+class _Block:
+    __slots__ = ("tag", "parts", "link_chars")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.parts: list[str] = []
+        self.link_chars = 0
+
+    def text(self) -> str:
+        return _WS_RUN.sub(" ", "".join(self.parts)).strip()
+
+
+class _ContentParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur = _Block("body")
+        self._drop_depth = 0
+        self._link_depth = 0
+
+    # -- helpers --
+    def _flush(self, next_tag: str) -> None:
+        if self._cur.parts:
+            self.blocks.append(self._cur)
+        self._cur = _Block(next_tag)
+
+    @staticmethod
+    def _is_boiler(attrs: list[tuple[str, str | None]]) -> bool:
+        for k, v in attrs:
+            if k in ("class", "id") and v and BOILERPLATE_HINT.search(v):
+                return True
+        return False
+
+    # -- parser events --
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if self._drop_depth:
+            if tag not in _VOID_TAGS:
+                self._drop_depth += 1
+            return
+        if tag in _DROP_SUBTREE or self._is_boiler(attrs):
+            if tag not in _VOID_TAGS:
+                self._drop_depth = 1
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._drop_depth:
+            self._drop_depth -= 1
+            return
+        if tag == "a" and self._link_depth:
+            self._link_depth -= 1
+        if tag in _BLOCK_TAGS:
+            self._flush("body")
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        self._cur.parts.append(data)
+        if self._link_depth:
+            self._cur.link_chars += len(data)
+
+    def close(self) -> None:  # flush the trailing block
+        super().close()
+        if self._cur.parts:
+            self.blocks.append(self._cur)
+            self._cur = _Block("body")
+
+
+def html_to_text(html: bytes | str | None) -> str:
+    """Extract main-content text from raw HTML bytes (or str) per the frozen
+    spec above. Returns "" for empty/undecodable input; never raises."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        try:
+            html = bytes(html).decode("utf-8", errors="replace")
+        except Exception:
+            return ""
+    if not html.strip():
+        return ""
+    parser = _ContentParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return ""
+
+    kept: list[str] = []
+    for blk in parser.blocks:
+        txt = blk.text()
+        if not txt:
+            continue
+        raw_len = sum(len(p) for p in blk.parts)
+        link_ratio = blk.link_chars / raw_len if raw_len else 0.0
+        if blk.tag in _HEADINGS:
+            if len(txt) >= 8 and link_ratio < 0.5:
+                kept.append(txt)
+        elif len(txt) >= 25 and link_ratio <= 1 / 3:
+            kept.append(txt)
+    return "\n\n".join(kept)

@@ -1,0 +1,208 @@
+"""Per-document extraction pipeline (the single source of truth).
+
+Chains the full reference inference path (``infer_pii.py:137-313``) plus the
+north-rule stages:
+
+    html -> main-content text      [NORTH, html_extract.py]
+    text -> chunks                 (chunking.py; reference chunking.py:144-301)
+    chunk -> NER emissions         (pluggable emitter; reference infer_pii.py:180-201)
+    emissions -> mean-logit agg    keyed by global char offsets
+                                   (reference infer_pii.py:209-235,277-310)
+    -> BIO Viterbi decode          (reference decoding.py:124-187)
+    -> scored spans -> filter      (reference spans.py:138-269)
+    + regex detector spans         [NORTH, detectors.py]
+    -> merge same-type + resolve cross-type (reference spans.py:272-324)
+    -> should_be_public = not any(span.type in PII_TYPES)
+                                   (reference infer_pii.py:553-569,674)
+
+Determinism contract: for a fixed config the output is a pure function of the
+input bytes — fp32 sums accumulate in chunk order, which is fixed per document
+and never split across Spark partitions, so results are bit-identical at any
+partition count / cluster size.
+
+Defaults mirror the reference CLI (infer_pii.py:359-438): max_length=512,
+stride=64, boundary_backoff=32, decode=bio_viterbi, aggregate=mean_logits,
+conf_threshold=0 (disabled), conf_agg=mean, min_span_tokens=0,
+resolve_overlaps=True.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+from pii_core.chunking import build_chunks
+from pii_core.decoding import viterbi_bio
+from pii_core.detectors import detect_spans
+from pii_core.html_extract import html_to_text
+from pii_core.labels import PII_TYPES, label_maps
+from pii_core.ner_stub import StubEmitter
+from pii_core.spans import Span, filter_spans, merge_and_resolve, spans_from_bio
+from pii_core.tokenizer import WordTokenizer
+
+Emitter = Callable[[str, list[tuple[int, int]]], np.ndarray]
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    max_length: int = 512
+    stride: int = 64
+    boundary_backoff: int = 32
+    decode: str = "bio_viterbi"            # bio_viterbi | argmax
+    aggregate: str = "mean_logits"         # mean_logits | none
+    conf_threshold: float = 0.0
+    conf_threshold_by_type: dict[str, float] = field(default_factory=dict)
+    conf_agg: str = "mean"                 # mean | min
+    min_span_tokens: int = 0
+    min_span_tokens_by_type: dict[str, int] = field(default_factory=dict)
+    resolve_overlaps: bool = True
+    use_detectors: bool = True
+    use_ner: bool = True
+    tokenizer_piece_len: int = 8
+
+    def make_tokenizer(self) -> WordTokenizer:
+        return WordTokenizer(piece_len=self.tokenizer_piece_len)
+
+
+_PII_SET = frozenset(PII_TYPES)
+
+
+def _ner_spans(
+    text: str, cfg: ExtractConfig, tokenizer: WordTokenizer, emitter: Emitter
+) -> list[Span]:
+    labels_list = getattr(emitter, "labels", None) or label_maps()[1]
+    if isinstance(labels_list, dict):
+        labels_list = [labels_list[i] for i in range(len(labels_list))]
+    l2i = {lab: i for i, lab in enumerate(labels_list)}
+    id2label = {i: lab for lab, i in l2i.items()}
+    o_id = l2i["O"]
+
+    chunks = build_chunks(
+        text,
+        tokenizer,
+        max_length=cfg.max_length,
+        stride=cfg.stride,
+        boundary_backoff=cfg.boundary_backoff,
+    )
+
+    if cfg.aggregate == "mean_logits":
+        # Accumulate per-token logits keyed by GLOBAL (start,end) char offsets
+        # so overlapping chunks average out (reference infer_pii.py:209-235).
+        acc_sum: dict[tuple[int, int], np.ndarray] = {}
+        acc_cnt: dict[tuple[int, int], int] = {}
+        for ch in chunks:
+            offs = tokenizer.encode(ch.text)
+            if not offs:
+                continue
+            em = emitter(ch.text, offs)
+            for ti, (a, b) in enumerate(offs):
+                ga, gb = a + ch.char_start, b + ch.char_start
+                if ga >= gb:
+                    continue
+                key = (ga, gb)
+                if key in acc_sum:
+                    acc_sum[key] += em[ti]
+                    acc_cnt[key] += 1
+                else:
+                    acc_sum[key] = em[ti].astype(np.float32).copy()
+                    acc_cnt[key] = 1
+        if not acc_sum:
+            return []
+        keys = sorted(acc_sum)
+        em_global = np.stack(
+            [acc_sum[k] / np.float32(acc_cnt[k]) for k in keys]
+        ).astype(np.float32, copy=False)
+        if cfg.decode == "bio_viterbi":
+            pred = viterbi_bio(em_global, labels_list, o_id)
+        else:
+            pred = [int(x) for x in np.argmax(em_global, axis=-1)]
+        spans = spans_from_bio(keys, pred, em_global, id2label, cfg.conf_agg)
+        return filter_spans(
+            spans,
+            conf_threshold=cfg.conf_threshold,
+            conf_threshold_by_type=cfg.conf_threshold_by_type,
+            min_span_tokens=cfg.min_span_tokens,
+            min_span_tokens_by_type=cfg.min_span_tokens_by_type,
+        )
+
+    # aggregate == "none": per-chunk decode, shift to global offsets, merge later
+    # (reference infer_pii.py:237-275).
+    out: list[Span] = []
+    for ch in chunks:
+        offs = tokenizer.encode(ch.text)
+        if not offs:
+            continue
+        em = emitter(ch.text, offs)
+        if cfg.decode == "bio_viterbi":
+            pred = viterbi_bio(em, labels_list, o_id)
+        else:
+            pred = [int(x) for x in np.argmax(em, axis=-1)]
+        local = spans_from_bio(offs, pred, em, id2label, cfg.conf_agg)
+        local = filter_spans(
+            local,
+            conf_threshold=cfg.conf_threshold,
+            conf_threshold_by_type=cfg.conf_threshold_by_type,
+            min_span_tokens=cfg.min_span_tokens,
+            min_span_tokens_by_type=cfg.min_span_tokens_by_type,
+        )
+        out.extend(
+            Span(s.start + ch.char_start, s.end + ch.char_start, s.type, s.conf, s.n_tokens)
+            for s in local
+        )
+    return out
+
+
+def extract_document(
+    text: str,
+    cfg: ExtractConfig | None = None,
+    emitter: Emitter | None = None,
+    tokenizer: WordTokenizer | None = None,
+) -> tuple[list[Span], bool]:
+    """Extract (merged spans, should_be_public) from plain text."""
+    cfg = cfg or ExtractConfig()
+    if not isinstance(text, str) or not text:
+        return [], True
+    tokenizer = tokenizer or cfg.make_tokenizer()
+    spans: list[Span] = []
+    if cfg.use_ner:
+        spans.extend(_ner_spans(text, cfg, tokenizer, emitter or StubEmitter()))
+    if cfg.use_detectors:
+        spans.extend(detect_spans(text))
+    merged = merge_and_resolve(spans, resolve_overlaps=cfg.resolve_overlaps)
+    public = not any(s.type in _PII_SET for s in merged)
+    return merged, public
+
+
+def extract_page(
+    url: str,
+    html: bytes | None,
+    text: str | None,
+    cfg: ExtractConfig | None = None,
+    emitter: Emitter | None = None,
+    tokenizer: WordTokenizer | None = None,
+) -> dict:
+    """Full per-page record: html (preferred) or pre-extracted text → result.
+
+    Output shape mirrors the reference JSONL record (infer_pii.py:553-569):
+    value = extracted_text[start:end], conf rounded to 2 decimals.
+    """
+    extracted = html_to_text(html) if html else (text or "")
+    spans, public = extract_document(extracted, cfg, emitter, tokenizer)
+    return {
+        "url": url,
+        "extracted_text": extracted,
+        "spans": [
+            {
+                "type": s.type,
+                "start": s.start,
+                "end": s.end,
+                "value": extracted[s.start:s.end],
+                "conf": round(float(s.conf), 2),
+                "n_tokens": s.n_tokens,
+            }
+            for s in spans
+        ],
+        "should_be_public": public,
+    }

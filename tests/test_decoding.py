@@ -1,0 +1,95 @@
+"""Viterbi vs brute-force path enumeration on tiny cases
+(reference decoding.py:124-187 semantics)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from pii_core.decoding import NEG, bio_transitions, softmax, split_label, viterbi_bio
+
+LABELS5 = ["O", "B-A", "I-A", "B-B", "I-B"]
+
+
+def brute_force(emissions, labels, force_o_mask=None):
+    t, c = emissions.shape
+    trans = bio_transitions(labels)
+    start_bad = [split_label(lab)[0] == "I" for lab in labels]
+    em = emissions.copy()
+    if force_o_mask is not None:
+        for ti in range(t):
+            if force_o_mask[ti]:
+                em[ti, :] = NEG
+                em[ti, labels.index("O")] = 0.0
+    best, best_score = None, -np.inf
+    for path in itertools.product(range(c), repeat=t):
+        score = em[0, path[0]] + (NEG if start_bad[path[0]] else 0.0)
+        for i in range(1, t):
+            score += trans[path[i - 1], path[i]] + em[i, path[i]]
+        if score > best_score:
+            best, best_score = list(path), score
+    return best
+
+
+@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("t", [1, 2, 4, 6])
+def test_viterbi_matches_brute_force(seed, t):
+    rng = np.random.RandomState(seed)
+    em = rng.randn(t, len(LABELS5)).astype(np.float32) * 3
+    got = viterbi_bio(em, LABELS5, o_id=0)
+    want = brute_force(em, LABELS5)
+    assert got == want
+
+
+def test_viterbi_force_o_mask():
+    rng = np.random.RandomState(7)
+    em = rng.randn(5, len(LABELS5)).astype(np.float32) * 3
+    mask = np.array([True, False, False, True, False])
+    got = viterbi_bio(em, LABELS5, o_id=0, force_o_mask=mask)
+    want = brute_force(em, LABELS5, mask)
+    assert got == want
+    assert got[0] == 0 and got[3] == 0
+
+
+def test_never_starts_with_I():
+    em = np.full((3, 5), 0.0, dtype=np.float32)
+    em[:, 2] = 10.0  # I-A everywhere is tempting
+    path = viterbi_bio(em, LABELS5, o_id=0)
+    assert path[0] != 2
+    # legal continuation: B-A then I-A I-A
+    assert path == [1, 2, 2]
+
+
+def test_I_only_follows_same_type():
+    trans = bio_transitions(LABELS5)
+    # B-A -> I-B forbidden; B-A -> I-A allowed
+    assert trans[1, 4] == NEG
+    assert trans[1, 2] == 0.0
+    # O -> I-A forbidden; anything -> O / -> B-* allowed
+    assert trans[0, 2] == NEG
+    assert (trans[:, 0] == 0.0).all()
+    assert (trans[:, 1] == 0.0).all()
+    assert (trans[:, 3] == 0.0).all()
+
+
+def test_malformed_labels_stay_forbidden():
+    labels = ["O", "B-A", "I-A", "garbage"]
+    trans = bio_transitions(labels)
+    assert (trans[3, :] == NEG).all()
+    assert (trans[:, 3] == NEG).all()
+    assert trans[0, 0] == 0.0
+
+
+def test_softmax_stable_and_normalized():
+    x = np.array([[1000.0, 1000.0, 999.0], [-1000.0, 0.0, 1.0]], dtype=np.float32)
+    p = softmax(x)
+    assert np.all(np.isfinite(p))
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, rtol=1e-6)
+
+
+def test_empty_and_shape_errors():
+    assert viterbi_bio(np.zeros((0, 5), np.float32), LABELS5, 0) == []
+    with pytest.raises(ValueError):
+        viterbi_bio(np.zeros((3, 4), np.float32), LABELS5, 0)
+    with pytest.raises(ValueError):
+        viterbi_bio(np.zeros((3, 5), np.float32), LABELS5, 9)

@@ -1,0 +1,75 @@
+"""Regex detectors + checksum validation. [NORTH-ONLY stage]"""
+
+import pytest
+
+from pii_core.detectors import (
+    cnpj_checksum_ok,
+    count_matches,
+    cpf_checksum_ok,
+    detect_spans,
+)
+from pii_core.spans import merge_and_resolve
+
+
+@pytest.mark.parametrize("cpf,ok", [
+    ("52998224725", True),
+    ("11144477735", True),
+    ("52998224724", False),   # bad check digit
+    ("00000000000", False),   # all-equal
+    ("1234567890", False),    # wrong length
+])
+def test_cpf_mod11(cpf, ok):
+    assert cpf_checksum_ok(cpf) is ok
+
+
+@pytest.mark.parametrize("cnpj,ok", [
+    ("11222333000181", True),
+    ("11444777000161", True),
+    ("11222333000180", False),
+    ("00000000000000", False),
+    ("1122233300018", False),
+])
+def test_cnpj_check_digits(cnpj, ok):
+    assert cnpj_checksum_ok(cnpj) is ok
+
+
+def test_detect_formatted_and_bare():
+    text = "CPF 529.982.247-25 e bare 52998224725 e invalido 529.982.247-24."
+    spans = detect_spans(text)
+    vals = [(text[s.start:s.end], s.type) for s in spans]
+    assert ("529.982.247-25", "DOC_PESSOAL") in vals
+    assert ("52998224725", "DOC_PESSOAL") in vals
+    assert all(v != "529.982.247-24" for v, _ in vals)  # checksum rejected
+
+
+def test_detect_all_types():
+    text = (
+        "Email a.b@x.org tel (61) 99999-8888 CEP 70040-010 RG 1.234.567-8 "
+        "CNPJ 11.444.777/0001-61."
+    )
+    spans = detect_spans(text)
+    types = {s.type for s in spans}
+    assert types == {"CONTATO", "ENDERECO", "DOC_PESSOAL", "DOC_EMPRESA"}
+    assert all(s.conf == 1.0 for s in spans)
+    assert spans == sorted(spans, key=lambda s: (s.start, s.end, s.type))
+
+
+def test_bare_cpf_inside_phone_resolved_by_length():
+    # an 11-digit run that passes the CPF checksum AND matches the phone shape:
+    # overlap resolution keeps the longer span deterministically
+    text = "ligue (11) 14447-7735 agora"
+    spans = merge_and_resolve(detect_spans(text))
+    assert len(spans) == 1
+    got = text[spans[0].start:spans[0].end]
+    assert got == "(11) 14447-7735"
+
+
+def test_count_matches():
+    text = "a@b.co e c@d.org, CPF 529.982.247-25"
+    c = count_matches(text)
+    assert c["email"] == 2 and c["cpf"] == 1 and c["cnpj"] == 0
+    assert count_matches("") == {k: 0 for k in c}
+
+
+def test_empty_text():
+    assert detect_spans("") == []

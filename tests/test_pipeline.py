@@ -1,0 +1,124 @@
+"""End-to-end per-document pipeline: determinism, chunk-boundary healing,
+decision logic, detector/NER union."""
+
+import numpy as np
+
+from pii_core.labels import PII_TYPES
+from pii_core.pipeline import ExtractConfig, extract_document, extract_page
+
+
+def test_empty_doc_is_public():
+    spans, public = extract_document("")
+    assert spans == [] and public is True
+
+
+def test_detector_only_doc():
+    cfg = ExtractConfig(use_ner=False)
+    text = "Contato: maria@x.org e CPF 529.982.247-25."
+    spans, public = extract_document(text, cfg)
+    assert {s.type for s in spans} == {"CONTATO", "DOC_PESSOAL"}
+    assert public is False
+
+
+def test_non_pii_only_doc_is_public():
+    cfg = ExtractConfig(use_ner=False)
+    text = "Empresa CNPJ 11.222.333/0001-81 regular."
+    spans, public = extract_document(text, cfg)
+    assert [s.type for s in spans] == ["DOC_EMPRESA"]
+    assert "DOC_EMPRESA" not in PII_TYPES
+    assert public is True
+
+
+def test_deterministic_across_calls():
+    text = ("Maria Clara Santos mora na Rua Azul, 45. " * 30
+            + "Email m@x.org CPF 529.982.247-25. " * 5)
+    a = extract_document(text)
+    b = extract_document(text)
+    assert a == b
+
+
+def test_value_straddling_chunk_boundary_is_healed():
+    # Force tiny chunks so the email straddles a boundary; mean-logit
+    # aggregation + same-type merge must still produce one exact span.
+    filler = "palavra comum repetida muitas vezes aqui. "
+    text = filler * 12 + "escreva para maria.santos@example.com hoje. " + filler * 12
+    cfg = ExtractConfig(max_length=24, stride=8)
+    spans, _ = extract_document(text, cfg)
+    emails = [s for s in spans if s.type == "CONTATO"]
+    assert len(emails) == 1
+    assert text[emails[0].start:emails[0].end] == "maria.santos@example.com"
+
+
+def test_partitioning_of_doc_list_irrelevant():
+    # document independence: extracting docs in any order/batching yields
+    # identical per-doc results (the Spark engine relies on this)
+    docs = [
+        "Dr. João Pedro Lima, CPF 529.982.247-25.",
+        "Reunião na Quadra 10, 22 amanhã.",
+        "sem pii aqui",
+    ]
+    fwd = [extract_document(d) for d in docs]
+    rev = [extract_document(d) for d in reversed(docs)]
+    assert fwd == list(reversed(rev))
+
+
+def test_aggregate_none_matches_mean_logits_on_nonoverlap_content():
+    text = "Nada de interesse " * 50 + "fale com ana.lima@example.org agora. "
+    a, _ = extract_document(text, ExtractConfig(max_length=32, stride=8))
+    b, _ = extract_document(text, ExtractConfig(max_length=32, stride=8, aggregate="none"))
+    ea = [s for s in a if s.type == "CONTATO"]
+    eb = [s for s in b if s.type == "CONTATO"]
+    assert [(s.start, s.end) for s in ea] == [(s.start, s.end) for s in eb]
+
+
+def test_extract_page_html_and_record_shape():
+    html = (b"<body><p>Sr. Carlos Eduardo Souza pede acesso. "
+            b"CPF 529.982.247-25 telefone (61) 99999-0000.</p></body>")
+    rec = extract_page("u1", html, None)
+    assert rec["url"] == "u1"
+    assert rec["extracted_text"].startswith("Sr. Carlos Eduardo Souza")
+    assert rec["should_be_public"] is False
+    for s in rec["spans"]:
+        assert rec["extracted_text"][s["start"]:s["end"]] == s["value"]
+        assert s["conf"] == round(s["conf"], 2)
+
+
+def test_extract_page_falls_back_to_text():
+    rec = extract_page("u2", None, "texto simples com c@d.org dentro")
+    assert rec["extracted_text"] == "texto simples com c@d.org dentro"
+    assert [s["value"] for s in rec["spans"]] == ["c@d.org"]
+
+
+def test_argmax_decode_path():
+    # non-conflicting emissions: both decoders agree
+    text = "Assinado por Ana Maria Braga ontem."
+    spans_v, _ = extract_document(text, ExtractConfig(decode="bio_viterbi"))
+    spans_a, _ = extract_document(text, ExtractConfig(decode="argmax"))
+    assert [(s.start, s.end, s.type) for s in spans_v] == \
+           [(s.start, s.end, s.type) for s in spans_a]
+    assert any(s.type == "NOME_PESSOA" for s in spans_v)
+
+
+def test_viterbi_beats_argmax_on_conflicting_emissions():
+    # "Avenida Central" matches both the person and the address gazetteer
+    # rule; Viterbi's BIO constraints pick one consistent path where argmax
+    # fragments — this is exactly why the reference defaults to bio_viterbi.
+    text = "Ana Maria Braga esteve na Avenida Central, 100."
+    spans_v, _ = extract_document(text, ExtractConfig(decode="bio_viterbi"))
+    assert (26, 46, "ENDERECO") in [(s.start, s.end, s.type) for s in spans_v]
+
+
+def test_ner_disabled():
+    spans, _ = extract_document("Maria Clara Santos", ExtractConfig(use_ner=False))
+    assert spans == []
+
+
+def test_min_span_tokens_filter_applies_to_ner():
+    text = "Assinado: Pedro Henrique Alves."
+    base, _ = extract_document(text, ExtractConfig(use_detectors=False))
+    assert any(s.type == "NOME_PESSOA" for s in base)
+    strict, _ = extract_document(
+        text,
+        ExtractConfig(use_detectors=False, min_span_tokens_by_type={"NOME_PESSOA": 99}),
+    )
+    assert strict == []
