@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship extraction pipeline (html → extracted text + typed
+               PII spans + should_be_public) over a deterministic synthetic
+               pages corpus, smoke-run at sf0.001 scale.
+``queries``  — one entry per implemented operator (SURVEY.md §2 + the
+               training-data-pipeline ops), from pii_spark.queries.
+``oracle_sql`` — DuckDB-equivalent SQL per query (omitted only for
+               non-SQL-expressible ops: the full greedy span pipeline and
+               the stubbed multimodal decoder — driver records rows-only).
 """
 
 from __future__ import annotations
@@ -15,24 +18,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PII extraction over synthetic Common-Crawl-style pages
+    (the sf0.001 parquet tables seed the corpus size; the pages themselves
+    are generated deterministically — the engine's true input shape per
+    BASELINE.json input_hint is (url, warc_ts, html, text, lang))."""
+    from pii_spark.extract import extract_pages
+    from pii_spark.synth import pages_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = max(60, min(docs.count(), 300))
+    pages = pages_df(spark, int(n), seed=42)
+    res = extract_pages(pages)
+    return res.select("url", "extracted_text", "spans", "should_be_public",
+                      "n_spans", "doc_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pii_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pii_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,120 @@
+"""Eval metrics job (reference A4-A7, /root/reference/infer_pii.py:683-1097).
+
+Distributed re-expression of the reference ``eval`` subcommand's metric
+accumulators: strict span-level match (set intersection of (start,end,type)
+keys — reference infer_pii.py:962-993), document-level binary confusion for
+``has_pii`` (infer_pii.py:995-1022), and P/R/F1 (eval_report.py:80-113,
+P1 = binary-PII F1 per eval_report.py:403).
+
+All per-doc work is builtin array expressions (array_intersect/size — the
+reference's Python set ops, reference O6); only the final tiny reduce
+crosses partitions. Per-type metrics come from one explode + groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pii_core.labels import PII_TYPES
+
+
+def _key_arr(col: str) -> F.Column:
+    """spans -> array<string> of 'start:end:type' strict-match keys."""
+    return F.array_distinct(
+        F.transform(
+            F.col(col),
+            lambda s: F.concat_ws(":", s.start.cast("string"),
+                                  s.end.cast("string"), s.type),
+        )
+    )
+
+
+def span_metrics(pred: DataFrame, gold: DataFrame) -> dict:
+    """Strict span metrics + binary PII confusion between two frames of
+    (url, spans). Returns a plain dict (driver-side arithmetic on ONE
+    aggregated row, like the reference's final report step)."""
+    pii = list(PII_TYPES)
+    j = (
+        pred.select("url", F.col("spans").alias("pred_spans"))
+        .join(gold.select("url", F.col("spans").alias("gold_spans")), "url", "full")
+        .select(
+            F.coalesce(_key_arr("pred_spans"), F.array()).alias("pk"),
+            F.coalesce(_key_arr("gold_spans"), F.array()).alias("gk"),
+            F.coalesce(
+                F.exists("pred_spans", lambda s: s.type.isin(pii)), F.lit(False)
+            ).alias("pred_pii"),
+            F.coalesce(
+                F.exists("gold_spans", lambda s: s.type.isin(pii)), F.lit(False)
+            ).alias("gold_pii"),
+        )
+    )
+    row = j.agg(
+        F.sum(F.size(F.array_intersect("pk", "gk"))).alias("tp"),
+        F.sum(F.size("pk")).alias("pred_pos"),
+        F.sum(F.size("gk")).alias("true_pos"),
+        F.sum((F.col("pred_pii") & F.col("gold_pii")).cast("long")).alias("btp"),
+        F.sum((F.col("pred_pii") & ~F.col("gold_pii")).cast("long")).alias("bfp"),
+        F.sum((~F.col("pred_pii") & F.col("gold_pii")).cast("long")).alias("bfn"),
+        F.sum((~F.col("pred_pii") & ~F.col("gold_pii")).cast("long")).alias("btn"),
+        F.count("*").alias("docs"),
+    ).collect()[0]
+
+    def prf(tp: int, pp: int, ap: int) -> tuple[float, float, float]:
+        p = tp / pp if pp else 0.0
+        r = tp / ap if ap else 0.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        return p, r, f
+
+    sp, sr, sf1 = prf(row.tp, row.pred_pos, row.true_pos)
+    bp, br, bf1 = prf(row.btp, row.btp + row.bfp, row.btp + row.bfn)
+    acc = (row.btp + row.btn) / row.docs if row.docs else 0.0
+    return {
+        "docs": row.docs,
+        "span_strict": {"tp": row.tp, "pred": row.pred_pos, "gold": row.true_pos,
+                        "precision": sp, "recall": sr, "f1": sf1},
+        "binary_pii": {"tp": row.btp, "fp": row.bfp, "fn": row.bfn, "tn": row.btn,
+                       "precision": bp, "recall": br, "f1": bf1,
+                       "accuracy": acc},
+        "p1": bf1,
+    }
+
+
+def per_type_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per-type strict span tp/pred/gold + PRF as a DataFrame (reference
+    infer_pii.py:1058-1072)."""
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select("url", F.explode("spans").alias("s"))
+            .select(
+                "url",
+                F.col("s.type").alias("type"),
+                F.concat_ws(":", F.col("s.start").cast("string"),
+                            F.col("s.end").cast("string"),
+                            F.col("s.type")).alias("k"),
+            )
+            .dropDuplicates(["url", "k"])
+            .withColumn("side", F.lit(side))
+        )
+
+    both = keyed(pred, "pred").unionByName(keyed(gold, "gold"))
+    counts = (
+        both.groupBy("url", "k", "type")
+        .agg(
+            F.max(F.when(F.col("side") == "pred", 1).otherwise(0)).alias("in_pred"),
+            F.max(F.when(F.col("side") == "gold", 1).otherwise(0)).alias("in_gold"),
+        )
+        .groupBy("type")
+        .agg(
+            F.sum(F.col("in_pred") * F.col("in_gold")).alias("tp"),
+            F.sum("in_pred").alias("pred"),
+            F.sum("in_gold").alias("gold"),
+        )
+    )
+    p = F.when(F.col("pred") > 0, F.col("tp") / F.col("pred")).otherwise(0.0)
+    r = F.when(F.col("gold") > 0, F.col("tp") / F.col("gold")).otherwise(0.0)
+    return counts.select(
+        "type", "tp", "pred", "gold",
+        p.alias("precision"), r.alias("recall"),
+        F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0).alias("f1"),
+    ).orderBy("type")

@@ -1,0 +1,145 @@
+"""The flagship extraction job.
+
+Plan shape (one data shuffle total, and it is the *deliberate* one):
+
+    scan (url, warc_ts, html, text, lang)          column-pruned to what we use
+      -> repartition(N, xxhash64(url, salt))       salted: defeats host-level
+                                                   skew in UDF compute, not
+                                                   just join skew (AQE can't
+                                                   fix compute skew)
+      -> mapInPandas(_extract_batches)             ONE pass: html→text →
+                                                   chunk → NER emissions →
+                                                   mean-logit agg → Viterbi →
+                                                   spans → filter → merge →
+                                                   resolve → decision
+      -> results (url, extracted_text, spans, should_be_public,
+                  n_spans, doc_bytes, partition_id)
+
+Everything doc-local stays doc-local: a document's chunks never cross a
+partition boundary, so fp32 accumulation order is fixed and output is
+byte-identical at ANY partition count (tests/test_spark_extract.py asserts
+2-partition output == 16-partition output == pure pii_core output).
+
+Executor lifecycle per the north rule: the tokenizer + NER emitter are
+constructed ONCE per partition iterator (the "model load"), then applied over
+Arrow record batches — no per-row Python at the DataFrame level; inner loops
+are compiled regex + NumPy. A real transformer emitter drops in by replacing
+``StubEmitter`` with a weights-loading callable of the same signature
+(reference forward pass: /root/reference/infer_pii.py:180-201).
+
+Reference lifecycle being parallelized: the sequential per-doc loop at
+/root/reference/infer_pii.py:632-676 (SURVEY.md §3 E2) — docs are
+independent, so this is an embarrassingly parallel map.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pii_core.ner_stub import StubEmitter
+from pii_core.pipeline import ExtractConfig, extract_page
+from pii_spark.schemas import RESULTS_SCHEMA
+
+RESULTS_WITH_PID = T.StructType(
+    RESULTS_SCHEMA.fields + [T.StructField("partition_id", T.IntegerType(), False)]
+)
+
+DEFAULT_SALT = 0x5CA1AB1E
+
+
+def _extract_batches(cfg: ExtractConfig):
+    """Build the mapInPandas function with cfg captured (broadcast via task
+    closure — cfg is a small frozen dataclass)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # --- load-once-per-partition (the "model load" slot) ---
+        tokenizer = cfg.make_tokenizer()
+        emitter = StubEmitter()
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            texts = pdf["text"].tolist() if "text" in pdf.columns else [None] * len(urls)
+            out = {
+                "url": [], "extracted_text": [], "spans": [],
+                "should_be_public": [], "n_spans": [], "doc_bytes": [],
+            }
+            for url, html, text in zip(urls, htmls, texts):
+                rec = extract_page(url, html, text, cfg, emitter, tokenizer)
+                out["url"].append(rec["url"])
+                out["extracted_text"].append(rec["extracted_text"])
+                out["spans"].append(rec["spans"])
+                out["should_be_public"].append(rec["should_be_public"])
+                out["n_spans"].append(len(rec["spans"]))
+                out["doc_bytes"].append(
+                    len(rec["extracted_text"].encode("utf-8")))
+            res = pd.DataFrame(out)
+            res["partition_id"] = pid
+            yield res
+
+    return run
+
+
+def extract_pages(
+    pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    num_partitions: int | None = None,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """pages (url, html[, text]) -> results. See module docstring."""
+    cfg = cfg or ExtractConfig()
+    spark = pages.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # Column pruning is explicit here so the parquet scan never reads columns
+    # the UDF ignores (warc_ts/lang stay in the table, not in the shuffle).
+    cols = [c for c in ("url", "html", "text") if c in pages.columns]
+    pruned = pages.select(*cols)
+
+    # Salted repartition: xxhash64(url, salt) spreads pathological hosts
+    # (many urls from one site == many rows with similar prefixes) uniformly;
+    # RoundRobin would also balance but breaks deterministic co-location for
+    # resume diffing, and hash(url) alone keeps lineage stable across runs.
+    salted = pruned.repartition(num_partitions, F.xxhash64(F.col("url"), F.lit(salt)))
+
+    return salted.mapInPandas(_extract_batches(cfg), schema=RESULTS_WITH_PID)
+
+
+def lineage_from_results(results: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage counters (north rule): docs, bytes, spans by
+    type, keyed by (run_id, partition_id). Derived from the results frame so
+    it reflects exactly what was committed; cache ``results`` when computing
+    both to avoid re-extraction."""
+    per_type = (
+        results.select("partition_id", F.explode_outer("spans").alias("s"))
+        .groupBy("partition_id", F.col("s.type").alias("type"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("type").isNotNull())
+        .groupBy("partition_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("type", "n"))).alias("spans_by_type"))
+    )
+    base = results.groupBy("partition_id").agg(
+        F.count("*").alias("docs"), F.sum("doc_bytes").alias("bytes"))
+    return (
+        base.join(per_type, "partition_id", "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            "docs",
+            "bytes",
+            F.coalesce(
+                "spans_by_type",
+                F.map_from_arrays(F.array(), F.array()).cast("map<string,bigint>"),
+            ).alias("spans_by_type"),
+        )
+    )

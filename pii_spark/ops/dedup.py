@@ -1,0 +1,260 @@
+"""Deduplication operators over ``documents``: exact (hash groupBy),
+MinHash+LSH (shingle → string-minhash → band → bucket self-join), SimHash,
+and n-gram Jaccard. The table has no natural duplicates, so each query
+injects deterministic (near-)duplicates in-query — identically on both
+engines via plain SQL constructions — then detects them.
+
+Scale notes (the part that matters at 100 TB):
+* exact dedup is one hash groupBy on a 32-byte fingerprint — the shuffle
+  carries (fp, doc_id), never the text.
+* MinHash/LSH shuffles (band_key, doc_id) pairs only; candidate pairs come
+  from a self-join on band_key whose per-key group size is bounded by design
+  (band collisions), so no quadratic blowup — THE standard web-dedup shape.
+* n-gram Jaccard here joins on shared shingles with a candidate filter; at
+  real scale it runs only on LSH candidate pairs (composed below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_N_PERM = 8  # minhash permutations
+_BAND = 2    # rows per band -> 4 bands
+
+# dialect-shared duplicate injection: every 10th doc gets an exact copy
+# (id + 1000000), every 25th a near-copy with a suffix (id + 2000000).
+_EXACT_UNION = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+_NEAR_UNION = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' um sufixo extra anexado'
+  FROM documents WHERE doc_id < 200 AND doc_id % 25 = 0
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _exact_union_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return d.unionByName(dup)
+
+
+def _near_union_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200").select("doc_id", "text")
+    near = (
+        _t(spark, sf_dir, "documents")
+        .where("doc_id < 200 AND doc_id % 25 = 0")
+        .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" um sufixo extra anexado")).alias("text"))
+    )
+    return d.unionByName(near)
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct 3-gram word shingles per doc. Built with
+    sequence + transform (no UDF); explode is the only row-expansion."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM ({union}) u) t
+"""
+
+
+def register_queries(register) -> None:
+    @register(
+        "dedup_exact",
+        oracle=f"""
+        SELECT MIN(doc_id) AS rep_id, COUNT(*) AS group_n, fp
+        FROM (SELECT doc_id, md5(text) AS fp FROM ({_EXACT_UNION}) u) h
+        GROUP BY fp HAVING COUNT(*) > 1 ORDER BY rep_id
+        """,
+    )
+    def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact dedup: hash-groupBy on a content fingerprint; the shuffle
+        carries (fp, doc_id) only."""
+        u = _exact_union_df(spark, sf_dir)
+        return (
+            u.select("doc_id", F.md5("text").alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("group_n"))
+            .where("group_n > 1")
+            .select("rep_id", "group_n", "fp")
+            .orderBy("rep_id")
+        )
+
+    # --- MinHash + LSH ----------------------------------------------------
+    minhash_aggs_sql = ", ".join(
+        f"MIN(md5(CAST({p} AS STRING) || '|' || sh)) AS h{p}"
+        for p in range(_N_PERM)
+    )
+    band_keys_sql = ", ".join(
+        f"md5(h{b * _BAND} || h{b * _BAND + 1}) AS b{b}"
+        for b in range(_N_PERM // _BAND)
+    )
+    bands_union_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bk FROM sigs"
+        for b in range(_N_PERM // _BAND)
+    )
+
+    @register(
+        "dedup_minhash_lsh",
+        oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL.format(union=_NEAR_UNION)}),
+        sig0 AS (SELECT doc_id, {minhash_aggs_sql} FROM sh GROUP BY doc_id),
+        sigs AS (SELECT doc_id, {band_keys_sql} FROM sig0),
+        bands AS ({bands_union_sql})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+        """,
+    )
+    def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash+LSH near-dup candidates: shingle → 8 string-minhash
+        signatures (min over md5(perm|shingle) — identical on any engine) →
+        4 bands of 2 → self-join on band key. Shuffles only (band_key,
+        doc_id)."""
+        sh = _shingles(_near_union_df(spark, sf_dir))
+        sig = sh.groupBy("doc_id").agg(*[
+            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("sh")))).alias(f"h{p}")
+            for p in range(_N_PERM)
+        ])
+        bands = sig.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat(F.col(f"h{b * _BAND}"),
+                                   F.col(f"h{b * _BAND + 1}"))).alias("bk"),
+                )
+                for b in range(_N_PERM // _BAND)
+            ])).alias("x"),
+        ).select("doc_id", "x.band", "x.bk")
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        return pairs.orderBy("id_a", "id_b")
+
+    # --- n-gram Jaccard ----------------------------------------------------
+    @register(
+        "dedup_jaccard",
+        oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL.format(union=_NEAR_UNION)}),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(floor(i * 1000.0 / (ca.n + cb.n - i)) AS BIGINT) AS jac_pm
+        FROM inter
+        JOIN card ca ON ca.doc_id = id_a
+        JOIN card cb ON cb.doc_id = id_b
+        WHERE i * 1000.0 / (ca.n + cb.n - i) >= 500
+        ORDER BY id_a, id_b
+        """,
+    )
+    def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """n-gram Jaccard near-dup: shared-shingle self-join → intersection
+        counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.5, emitted as floored
+        per-mille. At web scale the pair join runs only over LSH candidates
+        (previous query) — here the corpus slice is small enough to verify
+        the exact variant directly."""
+        sh = _shingles(_near_union_df(spark, sf_dir))
+        card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+            .agg(F.count("*").alias("i"))
+        )
+        j = (
+            inter.join(card.withColumnRenamed("doc_id", "id_a")
+                       .withColumnRenamed("n", "na"), "id_a")
+            .join(card.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("n", "nb"), "id_b")
+        )
+        jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
+        return (
+            j.where(jac >= 500)
+            .select("id_a", "id_b",
+                    F.floor(jac).cast("long").alias("jac_pm"))
+            .orderBy("id_a", "id_b")
+        )
+
+    # --- SimHash -------------------------------------------------------------
+    hexbit = "CASE WHEN substr(md5(tok), {j}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
+    sim_aggs_sql = ", ".join(
+        f"CASE WHEN SUM({hexbit.format(j=j + 1)}) > 0 THEN '1' ELSE '0' END AS bit{j}"
+        for j in range(16)
+    )
+    bits_concat_sql = " || ".join(f"bit{j}" for j in range(16))
+
+    @register(
+        "dedup_simhash",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM ({_EXACT_UNION}) u WHERE doc_id % 1000000 < 100
+        ),
+        bits AS (SELECT doc_id, {sim_aggs_sql} FROM toks GROUP BY doc_id)
+        SELECT doc_id, {bits_concat_sql} AS simhash FROM bits ORDER BY doc_id
+        """,
+    )
+    def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """16-bit SimHash from token md5 hex nibbles: per bit position, the
+        sign of the +1/-1 token vote sum. Exact duplicates get identical
+        signatures (injected copies prove it); near-dups differ in few bits.
+        One explode + one groupBy — shuffles (doc_id, tok) only."""
+        u = _exact_union_df(spark, sf_dir).where("doc_id % 1000000 < 100")
+        toks = u.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+        )
+        toks = toks.withColumn("h", F.md5("tok"))
+        votes = [
+            F.when(F.substring("h", j + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+            for j in range(16)
+        ]
+        bits = toks.groupBy("doc_id").agg(*[
+            F.when(F.sum(votes[j]) > 0, "1").otherwise("0").alias(f"bit{j}")
+            for j in range(16)
+        ])
+        return bits.select(
+            "doc_id",
+            F.concat(*[F.col(f"bit{j}") for j in range(16)]).alias("simhash"),
+        ).orderBy("doc_id")

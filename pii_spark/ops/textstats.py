@@ -1,0 +1,196 @@
+"""Text analysis operators over the ``documents`` table: language-ID-style
+n-gram marker scoring, quality scoring, token counting, document
+fingerprinting. All pure builtin expressions (JVM-side, whole-stage codegen)
+— no Python in the hot path. Ratios are emitted as floored integers so the
+oracle compare is float-noise-free."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MARKERS = ["table", "query", "stream", "vector"]
+_STOPWORDS = ["a", "the"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_queries(register) -> None:
+    marker_counts_sql = ", ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t = '{m}')) AS c_{m}"
+        for m in _MARKERS
+    )
+
+    @register(
+        "ngram_classify",
+        oracle=f"""
+        SELECT lang, predicted, COUNT(*) AS n FROM (
+          SELECT lang,
+                 CASE WHEN c_table >= c_query AND c_table >= c_stream AND c_table >= c_vector THEN 'table'
+                      WHEN c_query >= c_stream AND c_query >= c_vector THEN 'query'
+                      WHEN c_stream >= c_vector THEN 'stream'
+                      ELSE 'vector' END AS predicted
+          FROM (SELECT lang, {marker_counts_sql} FROM documents) c
+        ) p GROUP BY lang, predicted ORDER BY lang, predicted
+        """,
+    )
+    def ngram_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Language-ID-style marker scoring: per-doc counts of marker tokens
+        (split + HOF filter, no regex engine needed), argmax with a fixed
+        tie-break order."""
+        d = _t(spark, sf_dir, "documents")
+        toks = F.split("text", " ")
+        for m in _MARKERS:
+            # NB: a two-arg lambda would be read as (element, index)
+            def _eq(marker):
+                return lambda t: t == marker
+            d = d.withColumn(f"c_{m}", F.size(F.filter(toks, _eq(m))))
+        c = {m: F.col(f"c_{m}") for m in _MARKERS}
+        pred = (
+            F.when((c["table"] >= c["query"]) & (c["table"] >= c["stream"])
+                   & (c["table"] >= c["vector"]), "table")
+            .when((c["query"] >= c["stream"]) & (c["query"] >= c["vector"]), "query")
+            .when(c["stream"] >= c["vector"], "stream")
+            .otherwise("vector")
+        )
+        return (
+            d.select("lang", pred.alias("predicted"))
+            .groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+            .orderBy("lang", "predicted")
+        )
+
+    @register(
+        "quality_score",
+        oracle="""
+        SELECT source, bucket, COUNT(*) AS n FROM (
+          SELECT source,
+                 CASE WHEN n_tok < 30 THEN 'short'
+                      WHEN stop_pm > 80 THEN 'stopwordy'
+                      WHEN avg_len_x100 > 520 THEN 'longwords'
+                      ELSE 'ok' END AS bucket
+          FROM (
+            SELECT source,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+                   CAST(floor(length(replace(text, ' ', '')) * 100.0
+                        / len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS avg_len_x100,
+                   CAST(floor(len(list_filter(string_split(text, ' '),
+                                              t -> t = 'a' OR t = 'the')) * 1000.0
+                        / len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS stop_pm
+            FROM documents WHERE length(text) > 0
+          ) m
+        ) b GROUP BY source, bucket ORDER BY source, bucket
+        """,
+    )
+    def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Quality scoring: token count, average word length (x100), stopword
+        per-mille → bucket. Floored-integer ratios keep the oracle exact."""
+        d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+        toks = F.filter(F.split("text", " "), lambda t: t != "")
+        n_tok = F.size(toks)
+        n_stop = F.size(F.filter(toks, lambda t: (t == "a") | (t == "the")))
+        chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        m = d.select(
+            "source",
+            n_tok.alias("n_tok"),
+            F.floor(chars * 100.0 / n_tok).cast("long").alias("avg_len_x100"),
+            F.floor(n_stop * 1000.0 / n_tok).cast("long").alias("stop_pm"),
+        )
+        bucket = (
+            F.when(F.col("n_tok") < 30, "short")
+            .when(F.col("stop_pm") > 80, "stopwordy")
+            .when(F.col("avg_len_x100") > 520, "longwords")
+            .otherwise("ok")
+        )
+        return (
+            m.select("source", bucket.alias("bucket"))
+            .groupBy("source", "bucket").agg(F.count("*").alias("n"))
+            .orderBy("source", "bucket")
+        )
+
+    @register(
+        "token_stats",
+        oracle=r"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_word_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source ORDER BY source
+        """,
+    )
+    def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Token counting two ways — whitespace split and a BPE-ish regex
+        tokenizer — plus char totals, per source."""
+        d = _t(spark, sf_dir, "documents")
+        ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        words = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0)))
+        return (
+            d.groupBy("source").agg(
+                F.count("*").alias("n_docs"),
+                F.sum(ws).alias("n_ws_tokens"),
+                F.sum(words).alias("n_word_tokens"),
+                F.sum(F.length("text")).alias("n_chars"),
+            ).orderBy("source")
+        )
+
+    @register(
+        "doc_fingerprint",
+        oracle=r"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+               MIN(fp) AS min_fp
+        FROM (SELECT source,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents) f
+        GROUP BY source ORDER BY source
+        """,
+    )
+    def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Document fingerprinting: md5 over whitespace-normalized lowercase
+        text (content hash for exact dedup at scale)."""
+        d = _t(spark, sf_dir, "documents")
+        fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        return (
+            d.select("source", fp.alias("fp"))
+            .groupBy("source").agg(
+                F.count("*").alias("n_docs"),
+                F.countDistinct("fp").alias("n_distinct_fp"),
+                F.min("fp").alias("min_fp"),
+            ).orderBy("source")
+        )
+
+    @register(
+        "eval_binary_confusion",
+        oracle="""
+        SELECT CAST(SUM(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN NOT pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(floor(2.0 * SUM(CASE WHEN pred AND gold THEN 1 ELSE 0 END) * 10000
+                    / (2 * SUM(CASE WHEN pred AND gold THEN 1 ELSE 0 END)
+                       + SUM(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END)
+                       + SUM(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END))) AS BIGINT) AS f1_x10000
+        FROM (SELECT doc_id % 2 = 0 AS pred, doc_id % 7 < 3 AS gold
+              FROM documents) p
+        """,
+    )
+    def eval_binary_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Binary confusion matrix + F1 (reference A6/A7,
+        infer_pii.py:995-1022, eval_report.py:80-113) as conditional sums;
+        F1 emitted as floor(x*10000) so the compare is exact."""
+        d = _t(spark, sf_dir, "documents").select(
+            (F.col("doc_id") % 2 == 0).alias("pred"),
+            (F.col("doc_id") % 7 < 3).alias("gold"),
+        )
+        tp = F.sum((F.col("pred") & F.col("gold")).cast("long"))
+        fp = F.sum((F.col("pred") & ~F.col("gold")).cast("long"))
+        fn = F.sum((~F.col("pred") & F.col("gold")).cast("long"))
+        tn = F.sum((~F.col("pred") & ~F.col("gold")).cast("long"))
+        agg = d.agg(tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn"))
+        return agg.select(
+            "tp", "fp", "fn", "tn",
+            F.floor(2.0 * F.col("tp") * 10000
+                    / (2 * F.col("tp") + F.col("fp") + F.col("fn")))
+            .cast("long").alias("f1_x10000"),
+        )

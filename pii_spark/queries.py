@@ -1,0 +1,675 @@
+"""Oracle-checked query registry (driver contract).
+
+Each entry is an operator (or composition) from SURVEY.md §2 re-expressed
+Spark-first, plus an independent DuckDB oracle. Deterministic data
+construction shares SQL fragments (sqlfrag.py) verbatim on both engines;
+the operator under test is implemented twice (DataFrame API / pandas UDF on
+Spark, plain SQL on DuckDB) so the driver's compare genuinely
+cross-validates.
+
+Float discipline: queries never emit raw aggregated doubles — money is summed
+in integer cents, ratios are floored integer per-mille/percent — so the
+driver's value-hash is immune to summation-order float noise. Columns are
+aliased identically on both sides.
+
+Registry: ``QUERIES[name] = fn(spark, sf_dir) -> DataFrame``;
+``ORACLES[name] = sql`` (omitted for non-SQL-expressible ops → driver runs
+rows-only check).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pii_spark import sqlfrag as sf
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").withColumn(
+        "aug", F.expr(sf.aug_text_sql()))
+
+
+_AUG_FROM = f"(SELECT *, {sf.aug_text_sql()} AS aug FROM documents) d"
+
+
+# =========================================================================
+# Detector / extraction family (SURVEY §2.2 P1-P8, detectors [NORTH])
+# =========================================================================
+
+@register(
+    "detector_counts",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(aug, '{sf.EMAIL_PAT}'))) AS BIGINT) AS n_email,
+           CAST(SUM(len(regexp_extract_all(aug, '{sf.PHONE_PAT}'))) AS BIGINT) AS n_phone,
+           CAST(SUM(len(regexp_extract_all(aug, '{sf.CEP_PAT}'))) AS BIGINT) AS n_cep,
+           COUNT(*) AS n_docs
+    FROM {_AUG_FROM}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def detector_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled-regex detector match counts per lang (detectors stage;
+    reference-equivalent: count_matches, pii_core/detectors.py)."""
+    d = _aug_docs(spark, sf_dir)
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("aug"), F.lit(pat), F.lit(0)))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(n(sf.EMAIL_PAT)).alias("n_email"),
+            F.sum(n(sf.PHONE_PAT)).alias("n_phone"),
+            F.sum(n(sf.CEP_PAT)).alias("n_cep"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _cpf_is_valid_sql(col: str) -> str:
+    """Full mod-11 CPF validation in SQL (oracle side only — the Spark side
+    validates via pii_core.detectors.cpf_checksum_ok in a pandas UDF)."""
+    d = lambda i: f"CAST(substr({col}, {i}, 1) AS INT)"
+    s1 = " + ".join(f"{d(i + 1)} * {10 - i}" for i in range(9))
+    c1 = f"(CASE WHEN (({s1}) * 10) % 11 = 10 THEN 0 ELSE (({s1}) * 10) % 11 END)"
+    s2 = " + ".join(f"{d(i + 1)} * {11 - i}" for i in range(10))
+    c2 = f"(CASE WHEN (({s2}) * 10) % 11 = 10 THEN 0 ELSE (({s2}) * 10) % 11 END)"
+    return (f"(length({col}) = 11 AND {col} <> repeat(substr({col}, 1, 1), 11)"
+            f" AND {d(10)} = {c1} AND {d(11)} = {c2})")
+
+
+def _cnpj_is_valid_sql(col: str) -> str:
+    d = lambda i: f"CAST(substr({col}, {i}, 1) AS INT)"
+    w1 = (5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)
+    s1 = " + ".join(f"{d(i + 1)} * {w}" for i, w in enumerate(w1))
+    c1 = f"(CASE WHEN ({s1}) % 11 < 2 THEN 0 ELSE 11 - (({s1}) % 11) END)"
+    w2 = (6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)
+    s2 = " + ".join(f"{d(i + 1)} * {w}" for i, w in enumerate(w2))
+    c2 = f"(CASE WHEN ({s2}) % 11 < 2 THEN 0 ELSE 11 - (({s2}) % 11) END)"
+    return (f"(length({col}) = 14 AND {col} <> repeat(substr({col}, 1, 1), 14)"
+            f" AND {d(13)} = {c1} AND {d(14)} = {c2})")
+
+
+@register(
+    "cpf_checksum",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(CASE WHEN {_cpf_is_valid_sql('cand')} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN {_cpf_is_valid_sql('cand')} THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+    FROM (SELECT lang, {sf.cpf_candidate_sql()} AS cand FROM documents) c
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def cpf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPF mod-11 checksum validation over Arrow batches (north rule):
+    Spark validates with pii_core.cpf_checksum_ok in a vectorized pandas
+    UDF; the oracle re-derives mod-11 independently in SQL."""
+    from pii_core.detectors import cpf_checksum_ok
+
+    @F.pandas_udf("boolean")
+    def ok(s: pd.Series) -> pd.Series:
+        return s.map(cpf_checksum_ok)
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.expr(sf.cpf_candidate_sql()).alias("cand"))
+    return (
+        d.withColumn("v", ok("cand"))
+        .groupBy("lang")
+        .agg(F.sum(F.col("v").cast("long")).alias("n_valid"),
+             F.sum((~F.col("v")).cast("long")).alias("n_invalid"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "cnpj_checksum",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN {_cnpj_is_valid_sql('cand')} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN {_cnpj_is_valid_sql('cand')} THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+           COUNT(*) AS n_total
+    FROM (SELECT {sf.cnpj_candidate_sql()} AS cand FROM documents) c
+    """,
+)
+def cnpj_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_core.detectors import cnpj_checksum_ok
+
+    @F.pandas_udf("boolean")
+    def ok(s: pd.Series) -> pd.Series:
+        return s.map(cnpj_checksum_ok)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr(sf.cnpj_candidate_sql()).alias("cand"))
+    return d.agg(
+        F.sum(ok("cand").cast("long")).alias("n_valid"),
+        F.sum((~ok("cand")).cast("long")).alias("n_invalid"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@register(
+    "should_be_public",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(CASE WHEN has_pii THEN 0 ELSE 1 END) AS BIGINT) AS n_public,
+           CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
+           COUNT(*) AS n_docs
+    FROM (
+      SELECT lang,
+             ({_cpf_is_valid_sql('cand')}
+              OR len(regexp_extract_all(aug, '{sf.PHONE_PAT}')) > 0) AS has_pii
+      FROM (SELECT lang, {sf.aug_text_sql()} AS aug,
+                   {sf.cpf_candidate_sql()} AS cand FROM documents) x
+    ) y GROUP BY lang ORDER BY lang
+    """,
+)
+def should_be_public(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level decision (reference P2, infer_pii.py:553-569):
+    has_pii = valid CPF present OR phone detected; public = NOT has_pii."""
+    from pii_core.detectors import cpf_checksum_ok
+
+    @F.pandas_udf("boolean")
+    def ok(s: pd.Series) -> pd.Series:
+        return s.map(cpf_checksum_ok)
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(sf.aug_text_sql()).alias("aug"),
+        F.expr(sf.cpf_candidate_sql()).alias("cand"),
+    )
+    has_pii = ok("cand") | (
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(sf.PHONE_PAT), F.lit(0))) > 0
+    )
+    return (
+        d.withColumn("has_pii", has_pii)
+        .groupBy("lang")
+        .agg(
+            F.sum((~F.col("has_pii")).cast("long")).alias("n_public"),
+            F.sum(F.col("has_pii").cast("long")).alias("n_pii"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "span_filter_hof",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len(list_filter(vals, x -> length(x) % 10 >= 4))) AS BIGINT) AS n_kept,
+           CAST(SUM(len(vals)) AS BIGINT) AS n_total
+    FROM (SELECT source,
+                 regexp_extract_all(aug, '{sf.EMAIL_PAT}') AS vals
+          FROM {_AUG_FROM}) v
+    GROUP BY source ORDER BY source
+    """,
+)
+def span_filter_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span confidence/length filter as a higher-order array function, no UDF
+    (reference P1, spans.py:248-269): keep matches whose deterministic
+    pseudo-confidence (length % 10) clears the threshold."""
+    d = _aug_docs(spark, sf_dir)
+    vals = F.regexp_extract_all(F.col("aug"), F.lit(sf.EMAIL_PAT), F.lit(0))
+    kept = F.filter(vals, lambda x: F.length(x) % 10 >= 4)
+    return (
+        d.select("source", F.size(kept).alias("k"), F.size(vals).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("k").alias("n_kept"), F.sum("t").alias("n_total"))
+        .orderBy("source")
+    )
+
+
+_PREFIX_PAT = r"^(?:Documento )?CPF(?: n[o.]?)?[: ]*"
+
+
+@register(
+    "sanitize_values",
+    oracle=f"""
+    SELECT raw_label, regexp_replace(raw_value, '{_PREFIX_PAT}', '') AS value,
+           COUNT(*) AS n
+    FROM (
+      SELECT CASE WHEN doc_id % 4 = 0 THEN 'CPF: '
+                  WHEN doc_id % 4 = 1 THEN 'CPF no '
+                  WHEN doc_id % 4 = 2 THEN 'Documento CPF '
+                  ELSE '' END || {sf.cpf_valid_sql()} AS raw_value,
+             'DOC_PESSOAL' AS raw_label
+      FROM documents WHERE doc_id < 200
+    ) r
+    GROUP BY raw_label, value ORDER BY value
+    """,
+)
+def sanitize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value sanitization rewrite (reference P3, ner_labels.py:154-192):
+    iteratively strip label prefixes, keep the cleaned literal."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200").select(
+        F.expr(
+            "CASE WHEN doc_id % 4 = 0 THEN 'CPF: ' "
+            "WHEN doc_id % 4 = 1 THEN 'CPF no ' "
+            "WHEN doc_id % 4 = 2 THEN 'Documento CPF ' "
+            f"ELSE '' END || {sf.cpf_valid_sql()}"
+        ).alias("raw_value"),
+        F.lit("DOC_PESSOAL").alias("raw_label"),
+    )
+    return (
+        d.select(
+            "raw_label",
+            F.regexp_replace("raw_value", _PREFIX_PAT, "").alias("value"),
+        )
+        .groupBy("raw_label", "value")
+        .agg(F.count("*").alias("n"))
+        .orderBy("value")
+    )
+
+
+@register(
+    "validate_formats",
+    oracle=f"""
+    SELECT
+      CAST(SUM(CASE WHEN regexp_matches(email_cand, '^{sf.EMAIL_PAT}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_email_ok,
+      CAST(SUM(CASE WHEN length(regexp_replace(phone_cand, '[^0-9]', '', 'g')) >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_ok,
+      CAST(SUM(CASE WHEN regexp_matches(date_cand, '^[0-9]{{2}}/[0-9]{{2}}/[0-9]{{4}}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_date_ok,
+      COUNT(*) AS n_docs
+    FROM (
+      SELECT
+        CASE WHEN doc_id % 2 = 0 THEN 'user' || CAST(doc_id AS STRING) || '@ex.com'
+             ELSE 'user' || CAST(doc_id AS STRING) || '@' END AS email_cand,
+        CASE WHEN doc_id % 3 = 0 THEN '(11) 98765-4321' ELSE '12 34' END AS phone_cand,
+        CASE WHEN doc_id % 5 = 0 THEN '12/06/1990' ELSE '1990-06-12' END AS date_cand
+      FROM documents
+    ) c
+    """,
+)
+def validate_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value-format validation predicates (reference P4,
+    ner_labels.py:437-701): email shape, >=8-digit phone, dd/mm/yyyy date —
+    all as builtin expressions (regexp_like + digit-count)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr("CASE WHEN doc_id % 2 = 0 THEN 'user' || CAST(doc_id AS STRING) || '@ex.com' "
+               "ELSE 'user' || CAST(doc_id AS STRING) || '@' END").alias("email_cand"),
+        F.expr("CASE WHEN doc_id % 3 = 0 THEN '(11) 98765-4321' ELSE '12 34' END").alias("phone_cand"),
+        F.expr("CASE WHEN doc_id % 5 = 0 THEN '12/06/1990' ELSE '1990-06-12' END").alias("date_cand"),
+    )
+    email_ok = F.regexp_like("email_cand", F.lit(f"^{sf.EMAIL_PAT}$"))
+    phone_ok = F.length(F.regexp_replace("phone_cand", "[^0-9]", "")) >= 8
+    date_ok = F.regexp_like("date_cand", F.lit(r"^\d{2}/\d{2}/\d{4}$"))
+    return d.agg(
+        F.sum(email_ok.cast("long")).alias("n_email_ok"),
+        F.sum(phone_ok.cast("long")).alias("n_phone_ok"),
+        F.sum(date_ok.cast("long")).alias("n_date_ok"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_KW_PAT = r"(?:ltda|empresa|cnpj|companhia|s\.a\.)"
+
+
+@register(
+    "company_id_migration",
+    oracle=f"""
+    SELECT CASE WHEN {_cnpj_is_valid_sql('cand')}
+                 AND regexp_matches(lower(ctx), '{_KW_PAT}')
+            THEN 'DOC_EMPRESA' ELSE 'ID_PROCESSUAL' END AS label,
+           COUNT(*) AS n
+    FROM (
+      SELECT {sf.cnpj_candidate_sql()} AS cand,
+             CASE WHEN doc_id % 2 = 0 THEN 'a Empresa Ltda registrada sob'
+                  ELSE 'o requerente informou o numero' END AS ctx
+      FROM documents
+    ) m
+    GROUP BY label ORDER BY label
+    """,
+)
+def company_id_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Company-id migration heuristic (reference P5, spans.py:16-46):
+    CNPJ-shaped valid value + company keyword in the 40-char left context →
+    relabel DOC_EMPRESA."""
+    from pii_core.detectors import cnpj_checksum_ok
+
+    @F.pandas_udf("boolean")
+    def ok(s: pd.Series) -> pd.Series:
+        return s.map(cnpj_checksum_ok)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr(sf.cnpj_candidate_sql()).alias("cand"),
+        F.expr("CASE WHEN doc_id % 2 = 0 THEN 'a Empresa Ltda registrada sob' "
+               "ELSE 'o requerente informou o numero' END").alias("ctx"),
+    )
+    label = F.when(
+        ok("cand") & F.regexp_like(F.lower("ctx"), F.lit(_KW_PAT)),
+        F.lit("DOC_EMPRESA"),
+    ).otherwise(F.lit("ID_PROCESSUAL"))
+    return (
+        d.select(label.alias("label")).groupBy("label")
+        .agg(F.count("*").alias("n")).orderBy("label")
+    )
+
+
+@register(
+    "excerpt",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN length(clean) > 60 THEN substr(clean, 1, 60) || '...'
+                ELSE clean END AS excerpt
+    FROM (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean
+          FROM documents WHERE doc_id < 50) c
+    ORDER BY doc_id
+    """,
+)
+def excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt projection (reference P6, infer_pii.py:767-769): whitespace
+    collapse + truncate with ellipsis — pure builtin expressions."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 50")
+    clean = F.trim(F.regexp_replace("text", r"\s+", " "))
+    d = d.select("doc_id", clean.alias("clean"))
+    exc = F.when(
+        F.length("clean") > 60, F.concat(F.substring("clean", 1, 60), F.lit("..."))
+    ).otherwise(F.col("clean"))
+    return d.select("doc_id", exc.alias("excerpt")).orderBy("doc_id")
+
+
+# =========================================================================
+# Window / sequence family (SURVEY §2.5 W1-W4 analogues on ordered data)
+# =========================================================================
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), per AS (
+      SELECT user_id, sess_id, COUNT(*) AS n FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — the reference's BIO span state machine (W1,
+    spans.py:69-135) re-expressed as the classic lag + cumulative-sum window:
+    boundary flag on gap > 30 min, running sum forms the session id."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("n"))
+    return (
+        per.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n").alias("max_session_events"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s,
+             epoch_ms(ts) + CAST(floor(value * 60) AS BIGINT) * 1000 AS e,
+             event_id
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= s
+                  THEN 0 ELSE 1 END AS new_grp
+      FROM iv
+    ), grp AS (
+      SELECT user_id, s, e,
+             SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                ROWS UNBOUNDED PRECEDING) AS gid
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, gid, MIN(s) AS ms, MAX(e) AS me
+      FROM grp GROUP BY user_id, gid
+    )
+    SELECT user_id, COUNT(*) AS n_merged,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_ms
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-type interval merge (reference W3, spans.py:283-298) as the
+    running-max window trick: a new group starts when the running max of
+    prior ends does not reach the current start (overlap-or-touch merges).
+    Millisecond epochs: event timestamps carry microseconds, and second
+    truncation semantics differ across engines."""
+    from pyspark.sql import Window
+
+    # events.ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is a
+    # pure reinterpretation, matching DuckDB's naive epoch_ms.
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        ms.alias("s"),
+        (ms + F.floor(F.col("value") * 60).cast("long") * 1000).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    run_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = e.withColumn(
+        "new_grp", F.when(run_max >= F.col("s"), 0).otherwise(1))
+    grp = flagged.withColumn(
+        "gid", F.sum("new_grp").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    merged = grp.groupBy("user_id", "gid").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"))
+    return (
+        merged.groupBy("user_id")
+        .agg(F.count("*").alias("n_merged"),
+             F.sum(F.col("me") - F.col("ms")).alias("covered_ms"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT event_type, event_id, value, rk FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events
+    ) r WHERE rk <= 3 ORDER BY event_type, rk
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank window (reference O3/O4 limits + A10
+    error-bucket sampling shape)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 3")
+        .select("event_type", "event_id", "value", "rk")
+        .orderBy("event_type", "rk")
+    )
+
+
+# =========================================================================
+# Relational family (joins/aggs the engine gets from Catalyst for free,
+# proven here against the oracle; SURVEY §2.3-§2.4)
+# =========================================================================
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregation with map-side partial aggregation;
+    money summed in integer cents so the result is order-independent and
+    float-exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")
+    disc = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_c"),
+            F.sum(cents("l_extendedprice") * disc).alias("sum_disc_c"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "top_customers_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT n_name, c_name, revenue_c, rk FROM (
+      SELECT n_name, c_name, revenue_c,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY revenue_c DESC, c_custkey) AS rk
+      FROM rev
+    ) r WHERE rk <= 3 ORDER BY n_name, rk
+    """,
+)
+def top_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim joins with explicit broadcast of the small sides (customer,
+    nation) — no shuffle for the joins, one shuffle for the groupBy, one for
+    the per-nation rank window."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("revenue_c"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_c").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 3")
+        .select("n_name", "c_name", "revenue_c", "rk")
+        .orderBy("n_name", "rk")
+    )
+
+
+@register(
+    "order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi existence join + filter + hash agg (TPC-H Q4-shaped;
+    reference J3's semi-join shape at fact scale)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        j.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# =========================================================================
+# Rows-only flagship (non-SQL-expressible: full mapInPandas pipeline)
+# =========================================================================
+
+@register("pii_extract_pages")  # no oracle: order-sensitive greedy span
+def pii_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL extraction pipeline (html→text→chunk→NER→Viterbi→span algebra→
+    decision) over a deterministic synthetic pages corpus. Byte-identical
+    parity vs pii_core and partition invariance are asserted in
+    tests/test_spark_extract.py; the driver records a rows-only check here
+    because W4/W5 greedy resolution is deliberately not SQL-expressible
+    (SURVEY §7.4)."""
+    from pii_spark.extract import extract_pages
+    from pii_spark.synth import pages_df
+
+    pages = pages_df(spark, 120, seed=7)
+    res = extract_pages(pages)
+    return res.select(
+        "url", "n_spans", "should_be_public", "doc_bytes"
+    ).orderBy("url")
+
+
+# late-bound registries from ops modules (dedup / similarity / text stats /
+# multimodal) — imported last so this module stays the single registry.
+def _load_ops() -> None:
+    from pii_spark.ops import register_all
+
+    register_all(register)
+
+
+_load_ops()

@@ -1,0 +1,84 @@
+"""Review semi/anti join over extracted spans (reference J3).
+
+Reference semantics (/root/reference/pii_value_review.py:239-333): a small
+reviewed mapping ``(type, value)`` filters each document's entities — keep an
+entity iff its (type, value) pair was reviewed ("semi"), or drop reviewed
+pairs ("anti"); ``--add-missing`` re-adds reviewed values that literally
+occur in the text but were missed by the extractor.
+
+Spark-first shape: the review table is tiny (human-curated) → ALWAYS a
+broadcast join; the spans array explodes, joins, and regroups — one narrow
+shuffle on url for the regroup, no shuffle for the join itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_review(
+    results: DataFrame, review: DataFrame, mode: str = "semi"
+) -> DataFrame:
+    """Filter each row's ``spans`` against the reviewed (type, value) set.
+
+    mode="semi": keep only reviewed spans; mode="anti": drop reviewed spans.
+    Keeps url/extracted_text, recomputes n_spans and should_be_public.
+    """
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be semi|anti, got {mode!r}")
+
+    keyed = results.select(
+        "url", "extracted_text", F.posexplode_outer("spans").alias("pos", "s")
+    )
+    joined = keyed.join(
+        F.broadcast(review.select("type", "value").distinct()),
+        (F.col("s.type") == F.col("type")) & (F.col("s.value") == F.col("value")),
+        "left",
+    )
+    keep = F.col("type").isNotNull() if mode == "semi" else F.col("type").isNull()
+    kept = joined.where(F.col("s").isNull() | keep)
+
+    from pii_core.labels import PII_TYPES
+
+    regrouped = (
+        kept.groupBy("url")
+        .agg(
+            F.first("extracted_text").alias("extracted_text"),
+            F.array_sort(
+                F.filter(F.collect_list("s"), lambda s: s.isNotNull()),
+                lambda a, b: F.when(a.start < b.start, -1)
+                .when(a.start > b.start, 1)
+                .when(a.end < b.end, -1)
+                .when(a.end > b.end, 1)
+                .when(a.type < b.type, -1)
+                .when(a.type > b.type, 1)
+                .otherwise(0),
+            ).alias("spans"),
+        )
+        .withColumn("n_spans", F.size("spans"))
+        .withColumn(
+            "should_be_public",
+            ~F.exists("spans", lambda s: s.type.isin(list(PII_TYPES))),
+        )
+    )
+    return regrouped
+
+
+def add_missing(results: DataFrame, review: DataFrame) -> DataFrame:
+    """Reference ``--add-missing`` (pii_value_review.py:307-325): for each
+    reviewed (type, value) literally present in extracted_text but absent
+    from spans, count it as a candidate. Emitted as a report frame
+    (url, type, value) — occurrence offsets are doc-local and are produced
+    by the extraction UDF on the next full run."""
+    pairs = F.broadcast(review.select("type", "value").distinct())
+    have = results.select(
+        "url", F.explode_outer("spans").alias("s")
+    ).select("url", F.col("s.type").alias("type"), F.col("s.value").alias("value"))
+    candidates = (
+        results.select("url", "extracted_text")
+        .crossJoin(pairs)
+        .where(F.instr("extracted_text", F.col("value")) > 0)
+        .select("url", "type", "value")
+    )
+    return candidates.join(have, ["url", "type", "value"], "left_anti")

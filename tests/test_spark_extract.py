@@ -1,0 +1,106 @@
+"""Spark extraction pipeline: byte-identical parity vs pii_core, partition
+invariance, lineage correctness — the north rule's core invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from pii_core.pipeline import extract_page
+from pii_spark.extract import extract_pages, lineage_from_results
+from pii_spark.synth import gen_pages, pages_df
+
+N_PAGES = 90
+SEED = 1234
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, N_PAGES, seed=SEED).cache()
+
+
+@pytest.fixture(scope="module")
+def results(spark, pages):
+    return {r["url"]: r.asDict(recursive=True)
+            for r in extract_pages(pages, num_partitions=5).collect()}
+
+
+def test_rowcount_and_schema(results):
+    assert len(results) == N_PAGES
+    any_spans = next(r for r in results.values() if r["n_spans"] > 0)
+    s = any_spans["spans"][0]
+    assert set(s) == {"type", "start", "end", "value", "conf", "n_tokens"}
+
+
+def test_byte_identical_parity_vs_pii_core(results):
+    """Every url's extracted_text and spans match the pure single-process
+    library exactly (the north rule's per-row invariant)."""
+    for rec in gen_pages(N_PAGES, seed=SEED):
+        expect = extract_page(rec["url"], rec["html"], rec["text"])
+        got = results[rec["url"]]
+        assert got["extracted_text"] == expect["extracted_text"], rec["url"]
+        assert got["spans"] == expect["spans"], rec["url"]
+        assert got["should_be_public"] == expect["should_be_public"]
+        assert got["doc_bytes"] == len(expect["extracted_text"].encode("utf-8"))
+
+
+def test_partition_invariance(spark, pages, results):
+    """Identical output at a different partition count — repartitioning can
+    never change any per-url byte."""
+    alt = {r["url"]: r.asDict(recursive=True)
+           for r in extract_pages(pages, num_partitions=2).collect()}
+    for url, rec in results.items():
+        other = alt[url]
+        assert other["extracted_text"] == rec["extracted_text"]
+        assert other["spans"] == rec["spans"]
+
+
+def test_values_are_text_slices(results):
+    for rec in results.values():
+        txt = rec["extracted_text"]
+        for s in rec["spans"]:
+            assert s["value"] == txt[s["start"]:s["end"]]
+            assert 0 <= s["start"] < s["end"] <= len(txt)
+
+
+def test_spans_sorted_and_nonoverlapping(results):
+    for rec in results.values():
+        spans = rec["spans"]
+        keys = [(s["start"], s["end"], s["type"]) for s in spans]
+        assert keys == sorted(keys)
+        for a, b in zip(spans, spans[1:]):
+            assert a["end"] <= b["start"], (a, b)  # resolved: no overlaps
+
+
+def test_decision_matches_span_types(results):
+    from pii_core.labels import PII_TYPES
+
+    for rec in results.values():
+        has_pii = any(s["type"] in PII_TYPES for s in rec["spans"])
+        assert rec["should_be_public"] == (not has_pii)
+
+
+def test_lineage_totals(spark, pages):
+    res = extract_pages(pages, num_partitions=5).cache()
+    lin = lineage_from_results(res, "testrun").collect()
+    assert sum(r["docs"] for r in lin) == N_PAGES
+    total_by_type: dict[str, int] = {}
+    for r in lin:
+        assert r["run_id"] == "testrun"
+        for t, n in (r["spans_by_type"] or {}).items():
+            total_by_type[t] = total_by_type.get(t, 0) + n
+    flat = res.selectExpr("explode(spans) AS s").groupBy("s.type").count().collect()
+    assert {r["type"]: r["count"] for r in flat} == total_by_type
+    res.unpersist()
+
+
+def test_edge_docs(results):
+    """FIXTURES.md edge cases: empty html and empty main content yield empty
+    text + public; duplicate value produces two spans."""
+    empties = [r for r in results.values() if r["extracted_text"] == ""]
+    assert empties, "expected empty-content edge docs"
+    for r in empties:
+        assert r["spans"] == [] and r["should_be_public"]
+    dup = next(r for u, r in results.items() if u.endswith("/4"))
+    cpf_spans = [s for s in dup["spans"] if s["type"] == "DOC_PESSOAL"]
+    assert len(cpf_spans) == 2
+    assert cpf_spans[0]["value"] == cpf_spans[1]["value"]

@@ -1,0 +1,111 @@
+"""Resume, review, eval and multimodal jobs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark.resume import lineage_summary, run_incremental
+from pii_spark.review import add_missing, apply_review
+from pii_spark.evaljob import per_type_metrics, span_metrics
+from pii_spark.synth import pages_df
+
+
+def test_resume_processes_only_new(spark, tmp_path):
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    first = pages_df(spark, 40, seed=9)
+    out1 = run_incremental(spark, first, rdir, ldir, "run1", num_partitions=3)
+    assert out1["docs"] == 40
+
+    both = pages_df(spark, 60, seed=9)  # superset: first 40 + 20 new
+    out2 = run_incremental(spark, both, rdir, ldir, "run2", num_partitions=3)
+    assert out2["docs"] == 20
+
+    all_rows = spark.read.parquet(rdir)
+    assert all_rows.count() == 60
+    assert all_rows.select("url").distinct().count() == 60
+
+    summ = {r["run_id"]: r for r in lineage_summary(spark, ldir).collect()}
+    assert summ["run1"]["docs"] == 40 and summ["run2"]["docs"] == 20
+
+    # idempotent: third run with same input is a no-op
+    out3 = run_incremental(spark, both, rdir, ldir, "run3", num_partitions=3)
+    assert out3["docs"] == 0
+
+
+@pytest.fixture()
+def tiny_results(spark):
+    from pii_spark.extract import extract_pages
+
+    return extract_pages(pages_df(spark, 30, seed=77), num_partitions=2).cache()
+
+
+def test_review_semi_and_anti(spark, tiny_results):
+    one = tiny_results.where("n_spans > 0").select(
+        F.explode("spans").alias("s")).select("s.type", "s.value").first()
+    review = spark.createDataFrame([(one["type"], one["value"])], "type string, value string")
+
+    semi = apply_review(tiny_results, review, mode="semi")
+    kept = semi.select(F.explode("spans").alias("s")).select("s.type", "s.value").collect()
+    assert kept and all((r["type"], r["value"]) == (one["type"], one["value"]) for r in kept)
+
+    anti = apply_review(tiny_results, review, mode="anti")
+    dropped = anti.select(F.explode("spans").alias("s")).select("s.type", "s.value").collect()
+    assert all((r["type"], r["value"]) != (one["type"], one["value"]) for r in dropped)
+
+    n_semi = semi.select(F.sum("n_spans")).collect()[0][0]
+    n_anti = anti.select(F.sum("n_spans")).collect()[0][0]
+    n_all = tiny_results.select(F.sum("n_spans")).collect()[0][0]
+    assert n_semi + n_anti == n_all
+
+
+def test_review_add_missing(spark, tiny_results):
+    # a value that occurs in some text but was never emitted as a span
+    row = tiny_results.where("length(extracted_text) > 40").first()
+    word = row["extracted_text"].split()[0]
+    review = spark.createDataFrame([("QUASI_IDENTIFICADOR", word)],
+                                   "type string, value string")
+    miss = add_missing(tiny_results, review)
+    got = miss.where(F.col("url") == row["url"]).collect()
+    assert len(got) == 1 and got[0]["value"] == word
+
+
+def test_span_metrics_known_confusion(spark):
+    mk = lambda t, s, e: {"type": t, "start": s, "end": e, "value": "x",
+                          "conf": 1.0, "n_tokens": 1}
+    schema = ("url string, spans array<struct<type:string,start:int,end:int,"
+              "value:string,conf:double,n_tokens:int>>")
+    pred = spark.createDataFrame(
+        [("a", [mk("CONTATO", 0, 3), mk("CONTATO", 10, 14)]),  # 1 tp + 1 fp span
+         ("b", []),                                            # binary fn
+         ("c", [mk("ORG_JURIDICA", 0, 2)])],                   # non-PII only
+        schema)
+    gold = spark.createDataFrame(
+        [("a", [mk("CONTATO", 0, 3)]),
+         ("b", [mk("DOC_PESSOAL", 1, 5)]),
+         ("c", [])],
+        schema)
+    m = span_metrics(pred, gold)
+    assert m["docs"] == 3
+    assert m["span_strict"]["tp"] == 1
+    assert m["span_strict"]["pred"] == 3 and m["span_strict"]["gold"] == 2
+    b = m["binary_pii"]
+    assert (b["tp"], b["fp"], b["fn"], b["tn"]) == (1, 0, 1, 1)
+    assert m["p1"] == pytest.approx(2 * 1 / (2 * 1 + 0 + 1))
+
+    per = {r["type"]: r for r in per_type_metrics(pred, gold).collect()}
+    assert per["CONTATO"]["tp"] == 1 and per["CONTATO"]["pred"] == 2
+    assert per["DOC_PESSOAL"]["gold"] == 1 and per["DOC_PESSOAL"]["tp"] == 0
+
+
+def test_multimodal_plumbing(spark):
+    from pii_spark.ops.multimodal import extract_features
+
+    d = spark.createDataFrame(
+        [(1, b"\x89PNG rest"), (2, b"\xff\xd8jpegdata"), (3, b""), (4, None)],
+        "doc_id long, blob binary")
+    rows = {r["doc_id"]: r for r in extract_features(d).collect()}
+    assert rows[1]["fmt"] == "png" and rows[2]["fmt"] == "jpg"
+    assert rows[3]["fmt"] == "raw" and rows[3]["n_bytes"] == 0
+    assert rows[4]["n_bytes"] == 0
+    assert rows[2]["width"] == b"\xff"[0] % 64 + 1
