@@ -68,6 +68,8 @@ class ExtractConfig:
 
 _PII_SET = frozenset(PII_TYPES)
 
+_SINGLE_CHUNK_FAST = True
+
 
 def _ner_spans(
     text: str, cfg: ExtractConfig, tokenizer: WordTokenizer, emitter: Emitter
@@ -88,6 +90,36 @@ def _ner_spans(
     )
 
     if cfg.aggregate == "mean_logits":
+        # Single-chunk fast path (the common case for web pages): no overlap
+        # to average, so the chunk emissions ARE the global emissions —
+        # identical result to the dict accumulation below with count=1
+        # (tests flip _SINGLE_CHUNK_FAST to assert the equivalence).
+        if _SINGLE_CHUNK_FAST and len(chunks) == 1:
+            ch = chunks[0]
+            offs = tokenizer.encode(ch.text)
+            keys = [(a + ch.char_start, b + ch.char_start)
+                    for a, b in offs if a < b]
+            if not keys:
+                return []
+            if len(keys) == len(offs):
+                em_global = np.asarray(
+                    emitter(ch.text, offs), dtype=np.float32)
+            else:
+                em = np.asarray(emitter(ch.text, offs), dtype=np.float32)
+                em_global = em[[i for i, (a, b) in enumerate(offs) if a < b]]
+            if cfg.decode == "bio_viterbi":
+                pred = viterbi_bio(em_global, labels_list, o_id)
+            else:
+                pred = [int(x) for x in np.argmax(em_global, axis=-1)]
+            spans = spans_from_bio(keys, pred, em_global, id2label, cfg.conf_agg)
+            return filter_spans(
+                spans,
+                conf_threshold=cfg.conf_threshold,
+                conf_threshold_by_type=cfg.conf_threshold_by_type,
+                min_span_tokens=cfg.min_span_tokens,
+                min_span_tokens_by_type=cfg.min_span_tokens_by_type,
+            )
+
         # Accumulate per-token logits keyed by GLOBAL (start,end) char offsets
         # so overlapping chunks average out (reference infer_pii.py:209-235).
         acc_sum: dict[tuple[int, int], np.ndarray] = {}

@@ -33,19 +33,15 @@ class WordTokenizer:
             raise ValueError(f"piece_len must be >= 1, got {piece_len}")
         self.piece_len = int(piece_len)
         self.num_special_tokens = int(num_special_tokens)
+        # The {1,piece_len} quantifier makes the regex itself emit long word
+        # runs as consecutive greedy pieces — identical output to splitting
+        # _TOKEN_RE matches in Python, but the whole scan stays in C.
+        self._piece_re = re.compile(
+            r"[\w'’\-]{1,%d}|[^\s\w'’\-]" % self.piece_len, re.UNICODE)
 
     def encode(self, text: str) -> list[tuple[int, int]]:
         """Token char offsets (start inclusive, end exclusive), no specials."""
-        out: list[tuple[int, int]] = []
-        plen = self.piece_len
-        for m in _TOKEN_RE.finditer(text):
-            s, e = m.start(), m.end()
-            if e - s <= plen:
-                out.append((s, e))
-            else:
-                for p in range(s, e, plen):
-                    out.append((p, min(p + plen, e)))
-        return out
+        return [m.span() for m in self._piece_re.finditer(text)]
 
     def encoded_len_with_specials(self, text: str) -> int:
         """Token count including specials (mirrors ``_retokenized_length``,

@@ -98,7 +98,11 @@ def extract_pages(
     cfg = cfg or ExtractConfig()
     spark = pages.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # Over-partition 4x the core count: page sizes are heavy-tailed, so
+        # 1 partition per core lets a single long-doc partition straggle the
+        # stage; 4x gives the scheduler slack to rebalance. Python worker
+        # reuse (on by default) amortizes the extra partition startups.
+        num_partitions = 4 * spark.sparkContext.defaultParallelism
 
     # Column pruning is explicit here so the parquet scan never reads columns
     # the UDF ignores (warc_ts/lang stay in the table, not in the shuffle).

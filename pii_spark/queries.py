@@ -673,3 +673,266 @@ def _load_ops() -> None:
 
 
 _load_ops()
+
+
+# =========================================================================
+# Join family (reference J2-J4) + set ops (O5-O6) + A8
+# =========================================================================
+
+_REVIEW_LIST_SQL = ("SELECT 'user' || CAST(doc_id AS STRING) || '@ex' || "
+                    "CAST(doc_id % 7 AS STRING) || '.com.br' AS value "
+                    "FROM documents WHERE doc_id % 5 = 0")
+
+
+@register(
+    "review_semi_join",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept FROM (
+      SELECT lang, unnest(regexp_extract_all(aug, '{sf.EMAIL_PAT}')) AS value
+      FROM {_AUG_FROM}
+    ) det
+    WHERE value IN ({_REVIEW_LIST_SQL})
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def review_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Review semi-join (reference J3, pii_value_review.py:239-333): keep
+    detected values present in the reviewed set — broadcast left-semi join,
+    no shuffle on the big side."""
+    d = _aug_docs(spark, sf_dir)
+    det = d.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("aug"), F.lit(sf.EMAIL_PAT), F.lit(0))
+        ).alias("value"),
+    )
+    review = (
+        _t(spark, sf_dir, "documents")
+        .where("doc_id % 5 = 0")
+        .select(F.expr("'user' || CAST(doc_id AS STRING) || '@ex' || "
+                       "CAST(doc_id % 7 AS STRING) || '.com.br'").alias("value"))
+    )
+    kept = det.join(F.broadcast(review), "value", "left_semi")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept")).orderBy("lang")
+
+
+@register(
+    "literal_occurrence_join",
+    oracle="""
+    SELECT source,
+           CAST(SUM((length(text) - length(replace(text, 'table', ''))) / 5) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN length(text) <> length(replace(text, 'table', '')) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def literal_occurrence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-occurrence join (reference J2, spans.py:347-357): count all
+    non-overlapping occurrences of a value in each text — expressed as the
+    classic length-delta trick, zero UDF."""
+    d = _t(spark, sf_dir, "documents")
+    occ = (F.length("text")
+           - F.length(F.replace(F.col("text"), F.lit("table")))) / 5
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(occ).cast("long").alias("n_occurrences"),
+            F.sum((occ > 0).cast("long")).alias("n_docs_with"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "interval_range_join",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, source, (k - 1) * 100 AS cs, (k - 1) * 100 + 120 AS ce
+      FROM (SELECT doc_id, source, unnest(generate_series(1, CAST(ceil(n_chars / 100.0) AS BIGINT))) AS k
+            FROM documents) g
+    ),
+    spans AS (
+      SELECT doc_id, (n_chars % 97) * 3 AS s, (n_chars % 97) * 3 + 15 AS e
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_pairs
+    FROM chunks c JOIN spans p
+      ON c.doc_id = p.doc_id AND p.s < c.ce AND p.e > c.cs
+    GROUP BY source ORDER BY source
+    """,
+)
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk×span interval join (reference J4, build_finetune_jsonl.py:
+    294-314): overlap predicate range join between per-doc chunk windows and
+    span offsets (both derived deterministically from n_chars)."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", "source",
+        F.explode(
+            F.sequence(F.lit(1), F.ceil(F.col("n_chars") / 100.0).cast("long"))
+        ).alias("k"),
+    ).select(
+        "doc_id", "source",
+        ((F.col("k") - 1) * 100).alias("cs"),
+        ((F.col("k") - 1) * 100 + 120).alias("ce"),
+    )
+    spans = d.select(
+        F.col("doc_id").alias("span_doc_id"),
+        ((F.col("n_chars") % 97) * 3).alias("s"),
+        ((F.col("n_chars") % 97) * 3 + 15).alias("e"),
+    )
+    j = chunks.join(
+        spans,
+        (chunks.doc_id == spans.span_doc_id)
+        & (spans.s < chunks.ce) & (spans.e > chunks.cs),
+    )
+    return (
+        j.groupBy("source").agg(F.count("*").alias("n_pairs")).orderBy("source")
+    )
+
+
+@register(
+    "distinct_values_by_label",
+    oracle=f"""
+    SELECT label, CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM (
+      SELECT 'CONTATO' AS label,
+             unnest(regexp_extract_all(aug, '{sf.EMAIL_PAT}')) AS value
+      FROM {_AUG_FROM}
+      UNION ALL
+      SELECT 'DOC_PESSOAL' AS label, {sf.cpf_candidate_sql()} AS value
+      FROM documents
+    ) v GROUP BY label ORDER BY label
+    """,
+)
+def distinct_values_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct values per label (reference A8, pii_value_review.py:174-224)
+    as groupBy + countDistinct with min/max order witnesses."""
+    d = _aug_docs(spark, sf_dir)
+    emails = d.select(
+        F.lit("CONTATO").alias("label"),
+        F.explode(
+            F.regexp_extract_all(F.col("aug"), F.lit(sf.EMAIL_PAT), F.lit(0))
+        ).alias("value"),
+    )
+    cpfs = _t(spark, sf_dir, "documents").select(
+        F.lit("DOC_PESSOAL").alias("label"),
+        F.expr(sf.cpf_candidate_sql()).alias("value"),
+    )
+    return (
+        emails.unionByName(cpfs)
+        .groupBy("label")
+        .agg(
+            F.countDistinct("value").alias("n_distinct"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "array_set_ops",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(list_filter(list_distinct(detected), x -> list_contains(expected, x)))) AS BIGINT) AS n_inter,
+           CAST(SUM(len(list_distinct(list_concat(detected, expected)))) AS BIGINT) AS n_union
+    FROM (
+      SELECT lang, regexp_extract_all(aug, '{sf.EMAIL_PAT}') AS detected,
+             ['user' || CAST(doc_id AS STRING) || '@ex' || CAST(doc_id % 7 AS STRING) || '.com.br',
+              'other@nowhere.org'] AS expected
+      FROM {_AUG_FROM}
+    ) s GROUP BY lang ORDER BY lang
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (reference O5/O6: dedup via array_distinct, set
+    intersection for strict span match) as builtin higher-order functions."""
+    d = _aug_docs(spark, sf_dir)
+    detected = F.regexp_extract_all(F.col("aug"), F.lit(sf.EMAIL_PAT), F.lit(0))
+    expected = F.array(
+        F.expr("'user' || CAST(doc_id AS STRING) || '@ex' || "
+               "CAST(doc_id % 7 AS STRING) || '.com.br'"),
+        F.lit("other@nowhere.org"),
+    )
+    return (
+        d.select(
+            "lang",
+            F.size(F.array_intersect(F.array_distinct(detected), expected))
+            .alias("i"),
+            F.size(F.array_union(detected, expected)).alias("u"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("i").alias("n_inter"), F.sum("u").alias("n_union"))
+        .orderBy("lang")
+    )
+
+
+# =========================================================================
+# Tokenizer / chunker surface (SURVEY §2.7)
+# =========================================================================
+
+# the WordTokenizer piece regex, written in the Java∩RE2 common subset
+_TOK_PAT = r"[A-Za-z0-9_'\-]{1,8}|[^\sA-Za-z0-9_'\-]"
+_TOK_PAT_SQL = _TOK_PAT.replace("'", "''")  # SQL string-literal escaping
+
+
+@register(
+    "token_offsets",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '{_TOK_PAT_SQL}'))) AS BIGINT) AS n_tokens,
+           CAST(MAX(len(regexp_extract_all(text, '{_TOK_PAT_SQL}'))) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-tokenizer cross-validation: Spark counts tokens with the REAL
+    pii_core WordTokenizer (vectorized pandas UDF — the same code the
+    chunker and NER stage use on executors); the oracle re-derives the count
+    with an equivalent RE2 pattern. ASCII corpus makes the \\w-dialect
+    difference moot."""
+    from pii_core.tokenizer import WordTokenizer
+
+    @F.pandas_udf("long")
+    def ntok(s: pd.Series) -> pd.Series:
+        tok = WordTokenizer()  # once per batch-iterator worker
+        return s.map(lambda t: len(tok.encode(t or "")))
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", ntok("text").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"), F.max("n").alias("max_tokens"))
+        .orderBy("source")
+    )
+
+
+@register("chunk_stats")  # rows-only: chunk boundaries are chunker-defined
+def chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smart-chunker surface at Spark level (reference chunking.py:144-301):
+    per-doc chunk count and coverage under a small token budget (forces the
+    sliding-window path). Chunker invariants are pytest-pinned; this query
+    proves the executor-side plumbing."""
+    from pii_core.chunking import build_chunks
+    from pii_core.tokenizer import WordTokenizer
+
+    @F.pandas_udf("struct<n_chunks:int,covered:boolean>")
+    def stats(s: pd.Series) -> pd.DataFrame:
+        tok = WordTokenizer()
+        ncs, covs = [], []
+        for t in s:
+            t = t or ""
+            chunks = build_chunks(t, tok, max_length=64, stride=16,
+                                  boundary_backoff=8)
+            ncs.append(len(chunks))
+            covs.append(
+                not t or (chunks[0].char_start == 0
+                          and chunks[-1].char_end == len(t)))
+        return pd.DataFrame({"n_chunks": ncs, "covered": covs})
+
+    d = _t(spark, sf_dir, "documents")
+    out = d.select("doc_id", stats("text").alias("s")).select(
+        "doc_id", F.col("s.n_chunks").alias("n_chunks"),
+        F.col("s.covered").alias("covered"))
+    return out.orderBy("doc_id")

@@ -122,3 +122,19 @@ def test_min_span_tokens_filter_applies_to_ner():
         ExtractConfig(use_detectors=False, min_span_tokens_by_type={"NOME_PESSOA": 99}),
     )
     assert strict == []
+
+
+def test_single_chunk_fast_path_equivalent():
+    """The single-chunk fast path must produce byte-identical spans to the
+    general dict-accumulation path."""
+    import pii_core.pipeline as pl
+    from pii_spark.synth import gen_pages
+
+    pages = [p for p in gen_pages(60, seed=21)]
+    try:
+        pl._SINGLE_CHUNK_FAST = False
+        slow = [pl.extract_page(p["url"], p["html"], p["text"]) for p in pages]
+    finally:
+        pl._SINGLE_CHUNK_FAST = True
+    fast = [pl.extract_page(p["url"], p["html"], p["text"]) for p in pages]
+    assert fast == slow
