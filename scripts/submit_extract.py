@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the extraction job (north rule: "submitted
+via spark-submit --py-files").
+
+Usage:
+  python scripts/make_pyfiles_zip.py                       # build dist/pii_libs.zip
+  spark-submit --master local[8] --py-files dist/pii_libs.zip \
+      scripts/submit_extract.py --input <pages_parquet_dir> \
+      --output out/results --lineage out/lineage --run-id run1 [--synth N]
+
+On a cluster the same invocation works with --master yarn/k8s etc.; the zip
+ships identical pii_core/pii_spark bytes to every executor, which is what
+guarantees byte-identical output regardless of where a document lands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    ap.add_argument("--synth", type=int, default=0,
+                    help="generate N synthetic pages instead of --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--run-id", default="run1")
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("pii-extract").getOrCreate()
+
+    from pii_spark.resume import run_incremental
+    from pii_spark.synth import pages_df
+
+    if args.synth:
+        pages = pages_df(spark, args.synth, seed=42)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("one of --input / --synth required")
+
+    out = run_incremental(
+        spark, pages, args.output, args.lineage, args.run_id,
+        num_partitions=args.partitions,
+    )
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
