@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from bisect import bisect_left, bisect_right
 
 import numpy as np
 
@@ -90,12 +91,20 @@ def stub_emissions(chunk_text: str, offsets: list[tuple[int, int]]) -> np.ndarra
                 hits.append((s, e, typ))
     hits.sort()
 
-    for s, e, typ in hits:
-        first = True
-        for ti, (a, b) in enumerate(offsets):
-            if a == 0 and b == 0:
-                continue
-            if a < e and b > s:  # token overlaps the hit
+    if hits:
+        # token offsets are sorted, so the tokens overlapping [s, e) form a
+        # contiguous index range — bisect it instead of scanning all T
+        # (identical result: same overlap predicate over the same tokens).
+        starts = [a for a, _ in offsets]
+        ends = [b for _, b in offsets]
+        for s, e, typ in hits:
+            lo = bisect_right(ends, s)   # first token with b > s
+            hi = bisect_left(starts, e)  # first token with a >= e
+            first = True
+            for ti in range(lo, hi):
+                a, b = offsets[ti]
+                if (a == 0 and b == 0) or not (a < e and b > s):
+                    continue
                 lab = ("B-" if first else "I-") + typ
                 em[ti, _L2I[lab]] = _ENT_LOGIT + _tok_jitter(chunk_text, a, b)
                 first = False

@@ -58,7 +58,19 @@ def spans_from_bio(
     if agg not in ("mean", "min"):
         raise ValueError(f"conf_agg must be mean|min, got {conf_agg!r}")
 
-    probs = softmax(logits)
+    # label-id -> (prefix, type) computed once per call (27 entries), not per
+    # token; softmax computed lazily per ENTITY token row — the overwhelmingly
+    # common O rows never touch the exp path. Identical values: softmax rows
+    # are independent, and fp32 row-softmax(x) == row of full softmax(x).
+    meta = {int(pid): split_label(lab) for pid, lab in id2label.items()}
+    lg = np.asarray(logits, dtype=np.float32)
+
+    def _row_conf(i: int, pid: int) -> float:
+        row = lg[i]
+        z = row - row.max()
+        e = np.exp(z)
+        return float(e[pid] / e.sum())
+
     out: list[Span] = []
     # open-span state
     o_type: str | None = None
@@ -75,15 +87,15 @@ def spans_from_bio(
         o_confs = []
 
     for i, ((a, b), pid) in enumerate(zip(offsets, pred_ids)):
-        a, b = int(a), int(b)
-        lab = id2label.get(int(pid), "O")
-        pre, typ = split_label(lab)
-        if (a == 0 and b == 0) or typ is None:
-            _close()
-            run_type = None
+        pre, typ = meta.get(int(pid), ("O", None))
+        if typ is None or (a == 0 and b == 0):
+            if o_type is not None or run_type is not None:
+                _close()
+                run_type = None
             continue
+        a, b = int(a), int(b)
 
-        tok_conf = float(probs[i, int(pid)])
+        tok_conf = _row_conf(i, int(pid))
         opens = pre == "B" or run_type != typ
         if opens or o_type != typ:
             _close()
