@@ -416,6 +416,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary flag on gap > 30 min, running sum forms the session id."""
     from pyspark.sql import Window
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ-cast stability
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
@@ -474,6 +475,7 @@ def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # events.ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is a
     # pure reinterpretation, matching DuckDB's naive epoch_ms.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     e = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -553,7 +555,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = lambda c: F.round(F.col(c) * 100).cast("long")
     disc = F.round((1 - F.col("l_discount")) * 100).cast("long")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(cents("l_quantity")).alias("sum_qty_c"),
@@ -627,8 +629,8 @@ def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi existence join + filter + hash agg (TPC-H Q4-shaped;
     reference J3's semi-join shape at fact scale)."""
     o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
     )
     li = _t(spark, sf_dir, "lineitem")
     j = o.join(
