@@ -81,7 +81,7 @@ def register_queries(register) -> None:
         w = Window.partitionBy("query_id").orderBy(
             F.col("qdot").desc(), F.col("vec_id"))
         return (
-            scored.withColumn("rk", F.row_number().over(w))
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
             .where(f"rk <= {_K}")
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "qdot", "rk")
@@ -155,7 +155,7 @@ def register_queries(register) -> None:
         w = Window.partitionBy("query_id").orderBy(
             F.col("qdot").desc(), F.col("vec_id"))
         return (
-            scored.withColumn("rk", F.row_number().over(w))
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
             .where(f"rk <= {_K}")
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "qdot", "rk")

@@ -520,7 +520,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").desc(), F.col("event_id"))
     return (
-        e.withColumn("rk", F.row_number().over(w))
+        e.withColumn("rk", F.row_number().over(w).cast("long"))
         .where("rk <= 3")
         .select("event_type", "event_id", "value", "rk")
         .orderBy("event_type", "rk")
@@ -605,7 +605,7 @@ def top_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("n_name").orderBy(
         F.col("revenue_c").desc(), F.col("c_custkey"))
     return (
-        rev.withColumn("rk", F.row_number().over(w))
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
         .where("rk <= 3")
         .select("n_name", "c_name", "revenue_c", "rk")
         .orderBy("n_name", "rk")

@@ -1,0 +1,96 @@
+"""Semantic assertions for the training-data-pipeline ops: beyond matching
+the DuckDB oracle, the dedup/similarity operators must actually FIND the
+deterministically injected (near-)duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from pii_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def sfd() -> str:
+    return "/root/testdata/sf0.001"
+
+
+def _docs_count(spark, sfd):
+    return spark.read.parquet(f"{sfd}/documents.parquet").count()
+
+
+def test_dedup_exact_finds_all_injected(spark, sfd):
+    n = _docs_count(spark, sfd)
+    rows = QUERIES["dedup_exact"](spark, sfd).collect()
+    expected = {i for i in range(n) if i % 10 == 0}
+    assert {r["rep_id"] for r in rows} == expected
+    assert all(r["group_n"] == 2 for r in rows)
+
+
+def test_minhash_lsh_recall_on_near_dups(spark, sfd):
+    """Every injected near-dup (id, id+2000000) must appear among LSH
+    candidates: the suffix edit changes only trailing shingles, so at least
+    one band of exact minhash matches survives."""
+    n = min(_docs_count(spark, sfd), 200)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in QUERIES["dedup_minhash_lsh"](spark, sfd).collect()}
+    for i in range(0, n, 25):
+        assert (i, i + 2000000) in pairs, f"missed near-dup pair for doc {i}"
+
+
+def test_jaccard_scores_near_dups_high(spark, sfd):
+    rows = {(r["id_a"], r["id_b"]): r["jac_pm"]
+            for r in QUERIES["dedup_jaccard"](spark, sfd).collect()}
+    n = min(_docs_count(spark, sfd), 200)
+    for i in range(0, n, 25):
+        jac = rows.get((i, i + 2000000))
+        assert jac is not None and jac >= 500
+
+
+def test_simhash_identical_for_exact_dups(spark, sfd):
+    sig = {r["doc_id"]: r["simhash"]
+           for r in QUERIES["dedup_simhash"](spark, sfd).collect()}
+    injected = [i for i in sig if i >= 1000000]
+    assert injected
+    for j in injected:
+        assert sig[j] == sig[j - 1000000]
+        assert len(sig[j]) == 16 and set(sig[j]) <= {"0", "1"}
+
+
+def test_embedding_near_dup_finds_copies(spark, sfd):
+    n_vec = spark.read.parquet(f"{sfd}/embeddings.parquet").count()
+    pairs = {(r["id_a"], r["id_b"])
+             for r in QUERIES["embedding_near_dup"](spark, sfd).collect()}
+    for i in range(0, n_vec, 25):
+        assert (i + 10000, i) in pairs or (i, i + 10000) in pairs
+
+
+def test_knn_bruteforce_is_exact_topk(spark, sfd):
+    """Cross-check the distributed top-k against a local NumPy brute force
+    on the same quantized vectors."""
+    import numpy as np
+
+    emb = {r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1000)
+           for r in spark.read.parquet(f"{sfd}/embeddings.parquet").collect()}
+    got: dict[int, list[int]] = {}
+    for r in QUERIES["knn_bruteforce"](spark, sfd).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q in range(min(10, len(emb))):
+        dots = sorted(
+            ((emb[q] @ emb[c], -c) for c in emb if c != q), reverse=True)
+        expect = [-negc for _dot, negc in dots[:5]]
+        assert got[q] == expect, f"query {q}"
+
+
+def test_knn_lsh_neighbors_share_bucket_semantics(spark, sfd):
+    """LSH results are a subset of brute-force candidates ranked by the same
+    score; every returned neighbor must have rank position consistent with
+    its qdot ordering."""
+    rows = QUERIES["knn_lsh"](spark, sfd).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "LSH returned nothing"
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        qdots = [r["qdot"] for r in rs]
+        assert qdots == sorted(qdots, reverse=True)
