@@ -118,3 +118,52 @@ def per_type_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
         p.alias("precision"), r.alias("recall"),
         F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0).alias("f1"),
     ).orderBy("type")
+
+
+def render_report(metrics: dict, per_type_rows: list | None = None) -> str:
+    """Markdown eval report (reference S7, eval_report.py:240-372): headline
+    P1, binary confusion, strict span PRF, per-type table."""
+    b = metrics["binary_pii"]
+    s = metrics["span_strict"]
+    lines = [
+        "# PII extraction eval report",
+        "",
+        f"Documents evaluated: **{metrics['docs']}**",
+        "",
+        f"## P1 (binary has-PII F1): **{metrics['p1']:.4f}**",
+        "",
+        "## Binary PII confusion",
+        "",
+        "| | gold + | gold - |",
+        "|---|---|---|",
+        f"| pred + | {b['tp']} | {b['fp']} |",
+        f"| pred - | {b['fn']} | {b['tn']} |",
+        "",
+        f"precision {b['precision']:.4f} · recall {b['recall']:.4f} · "
+        f"f1 {b['f1']:.4f} · accuracy {b['accuracy']:.4f}",
+        "",
+        "## Strict span match (start, end, type)",
+        "",
+        f"tp {s['tp']} / pred {s['pred']} / gold {s['gold']} — "
+        f"precision {s['precision']:.4f} · recall {s['recall']:.4f} · "
+        f"f1 {s['f1']:.4f}",
+    ]
+    if per_type_rows:
+        lines += ["", "## Per-type strict metrics", "",
+                  "| type | tp | pred | gold | P | R | F1 |",
+                  "|---|---|---|---|---|---|---|"]
+        for r in per_type_rows:
+            lines.append(
+                f"| {r['type']} | {r['tp']} | {r['pred']} | {r['gold']} | "
+                f"{r['precision']:.4f} | {r['recall']:.4f} | {r['f1']:.4f} |")
+    return "\n".join(lines) + "\n"
+
+
+def write_report(pred, gold, path: str) -> dict:
+    """Full eval job: metrics + per-type + markdown report to ``path``.
+    Returns the metrics dict (reference `eval` subcommand shape)."""
+    m = span_metrics(pred, gold)
+    per_type = [r.asDict() for r in per_type_metrics(pred, gold).collect()]
+    with open(path, "w") as f:
+        f.write(render_report(m, per_type))
+    return m

@@ -147,3 +147,30 @@ def lineage_from_results(results: DataFrame, run_id: str) -> DataFrame:
             ).alias("spans_by_type"),
         )
     )
+
+
+def validate_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fail-fast record validation as a quarantine split (SURVEY §1.3:
+    reference hard-errors on malformed records at every ingestion point,
+    e.g. build_finetune_jsonl.py:132-192; at 10^12 rows a bad record must
+    not kill a 6-hour job, so the engine routes it to a quarantine sink and
+    the lineage counters make the split auditable).
+
+    Returns (valid, quarantined). Rules: url non-null/non-empty and unique;
+    at least one of html/text present.
+    """
+    from pyspark.sql import Window
+
+    cols = pages.columns
+    w = Window.partitionBy("url")
+    flagged = pages.withColumn("_dup", F.count("*").over(w) > 1)
+    reason = (
+        F.when(F.col("url").isNull() | (F.length("url") == 0), "null_url")
+        .when(F.col("_dup"), "duplicate_url")
+        .when(F.col("html").isNull() & F.col("text").isNull(), "no_payload")
+    )
+    tagged = flagged.withColumn("_reason", reason)
+    valid = tagged.where(F.col("_reason").isNull()).select(*cols)
+    quarantined = tagged.where(F.col("_reason").isNotNull()).select(
+        *cols, F.col("_reason").alias("reason"))
+    return valid, quarantined

@@ -109,3 +109,58 @@ def test_multimodal_plumbing(spark):
     assert rows[3]["fmt"] == "raw" and rows[3]["n_bytes"] == 0
     assert rows[4]["n_bytes"] == 0
     assert rows[2]["width"] == b"\xff"[0] % 64 + 1
+
+
+def test_eval_report_rendering(spark, tmp_path):
+    mk = lambda t, s, e: {"type": t, "start": s, "end": e, "value": "x",
+                          "conf": 1.0, "n_tokens": 1}
+    schema = ("url string, spans array<struct<type:string,start:int,end:int,"
+              "value:string,conf:double,n_tokens:int>>")
+    pred = spark.createDataFrame([("a", [mk("CONTATO", 0, 3)]), ("b", [])], schema)
+    gold = spark.createDataFrame([("a", [mk("CONTATO", 0, 3)]), ("b", [])], schema)
+    from pii_spark.evaljob import write_report
+
+    path = str(tmp_path / "report.md")
+    m = write_report(pred, gold, path)
+    assert m["p1"] == 1.0
+    body = open(path).read()
+    assert "# PII extraction eval report" in body
+    assert "| CONTATO | 1 | 1 | 1 |" in body
+
+
+def test_validate_pages_quarantine(spark):
+    from pii_spark.extract import validate_pages
+    from pii_spark.schemas import PAGES_SCHEMA
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("https://ok/1", ts, b"<p>x</p>", None, "pt"),
+        ("", ts, b"<p>y</p>", None, "pt"),            # null_url
+        ("https://dup/2", ts, b"a", None, "pt"),      # duplicate_url
+        ("https://dup/2", ts, b"b", None, "pt"),      # duplicate_url
+        ("https://nopayload/3", ts, None, None, "pt"),  # no_payload
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    valid, quar = validate_pages(df)
+    assert [r["url"] for r in valid.collect()] == ["https://ok/1"]
+    reasons = sorted(r["reason"] for r in quar.collect())
+    assert reasons == ["duplicate_url", "duplicate_url", "no_payload", "null_url"]
+
+
+def test_salted_repartition_balances_single_host(spark):
+    """All urls from ONE pathological host must still spread ~uniformly
+    across partitions (the salted url-hash defeats host-level skew)."""
+    from pii_spark.extract import extract_pages
+    from pii_spark.schemas import PAGES_SCHEMA
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [(f"https://one-host.example/{i}", ts, b"<p>conteudo aqui para extrair algo</p>", None, "pt")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    res = extract_pages(df, num_partitions=8)
+    counts = [r["c"] for r in
+              res.groupBy("partition_id").agg(F.count("*").alias("c")).collect()]
+    assert len(counts) == 8
+    assert max(counts) <= 2.0 * (400 / 8)  # no partition hoards the host
