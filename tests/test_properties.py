@@ -1,0 +1,81 @@
+"""Hypothesis property tests over pii_core: robustness on adversarial
+inputs and algorithmic invariants that the golden suites can't enumerate."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pii_core.decoding import NEG, bio_transitions, split_label, viterbi_bio
+from pii_core.html_extract import html_to_text
+from pii_core.labels import bio_label_space
+from pii_core.pipeline import extract_document
+from pii_core.spans import Span, merge_and_resolve
+
+LABELS = bio_label_space()
+O_ID = LABELS.index("O")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=400))
+def test_html_to_text_never_raises_and_is_deterministic(s):
+    a = html_to_text(s)
+    assert a == html_to_text(s)
+    assert isinstance(a, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_html_to_text_bytes_never_raises(b):
+    assert isinstance(html_to_text(b), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300))
+def test_extract_document_never_raises(s):
+    spans, public = extract_document(s)
+    for sp in spans:
+        assert 0 <= sp.start < sp.end <= len(s)
+    keys = [(sp.start, sp.end, sp.type) for sp in spans]
+    assert keys == sorted(keys)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(1, 7).flatmap(
+        lambda t: st.lists(
+            st.lists(st.floats(-5, 5, width=32), min_size=len(LABELS),
+                     max_size=len(LABELS)),
+            min_size=t, max_size=t,
+        )
+    )
+)
+def test_viterbi_path_always_bio_legal(rows):
+    em = np.asarray(rows, dtype=np.float32)
+    path = viterbi_bio(em, LABELS, O_ID)
+    assert len(path) == em.shape[0]
+    trans = bio_transitions(LABELS)
+    # start constraint: never I-* first
+    assert split_label(LABELS[path[0]])[0] != "I"
+    for p, c in zip(path, path[1:]):
+        assert trans[p, c] == 0.0, (LABELS[p], LABELS[c])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(1, 15),
+                  st.sampled_from(["CONTATO", "NOME_PESSOA", "ENDERECO"]),
+                  st.floats(0.1, 1.0)),
+        max_size=12,
+    )
+)
+def test_merge_and_resolve_invariants(raw):
+    spans = [Span(a, a + ln, t, c, 1) for a, ln, t, c in raw]
+    out = merge_and_resolve(spans)
+    keys = [(s.start, s.end, s.type) for s in out]
+    assert keys == sorted(keys)
+    for x, y in zip(out, out[1:]):
+        assert x.end <= y.start  # fully resolved: no overlaps remain
+    # idempotent
+    assert merge_and_resolve(out) == out
