@@ -174,3 +174,14 @@ def validate_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     quarantined = tagged.where(F.col("_reason").isNotNull()).select(
         *cols, F.col("_reason").alias("reason"))
     return valid, quarantined
+
+
+def write_results_jsonl(results: DataFrame, out_dir: str) -> None:
+    """Reference-shaped JSONL sink (S4, infer_pii.py:644-676): one JSON
+    object per line with url, spans (typed structs) and should_be_public —
+    drop-in for consumers of the reference's ``--jsonl_out``. Parquet/Iceberg
+    remains the scale sink; JSONL is the interchange format."""
+    (
+        results.select("url", "extracted_text", "spans", "should_be_public")
+        .write.mode("overwrite").json(out_dir)
+    )

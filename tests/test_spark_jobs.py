@@ -164,3 +164,21 @@ def test_salted_repartition_balances_single_host(spark):
               res.groupBy("partition_id").agg(F.count("*").alias("c")).collect()]
     assert len(counts) == 8
     assert max(counts) <= 2.0 * (400 / 8)  # no partition hoards the host
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path, tiny_results):
+    import json, glob
+
+    from pii_spark.extract import write_results_jsonl
+
+    out = str(tmp_path / "jsonl")
+    write_results_jsonl(tiny_results, out)
+    lines = []
+    for fn in glob.glob(f"{out}/part-*"):
+        with open(fn) as f:
+            lines += [json.loads(line) for line in f if line.strip()]
+    assert len(lines) == tiny_results.count()
+    rec = next(r for r in lines if r.get("spans"))
+    s = rec["spans"][0]
+    assert {"type", "start", "end", "value", "conf", "n_tokens"} <= set(s)
+    assert rec["extracted_text"][s["start"]:s["end"]] == s["value"]
