@@ -60,3 +60,71 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def host_stats_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+) -> StreamingQuery:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-host counters — pages seen and PII pages — maintained in Spark state
+    across micro-batches AND across restarts (state lives in the checkpoint).
+
+    This is the streaming twin of the lineage counters: at crawl time it
+    answers "which hosts are emitting PII right now" without rescanning
+    history. State per key is two longs — millions of hosts fit trivially.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from pii_spark.extract import _extract_batches  # noqa: PLC0415
+    from pii_core.pipeline import ExtractConfig  # noqa: PLC0415
+
+    out_schema = T.StructType([
+        T.StructField("host", T.StringType(), False),
+        T.StructField("docs", T.LongType(), False),
+        T.StructField("pii_docs", T.LongType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("docs", T.LongType(), False),
+        T.StructField("pii_docs", T.LongType(), False),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        docs, pii = (state.get if state.exists else (0, 0))
+        for pdf in pdfs:
+            docs += len(pdf)
+            pii += int((~pdf["should_be_public"]).sum())
+        state.update((docs, pii))
+        yield pd.DataFrame({"host": [key[0]], "docs": [docs], "pii_docs": [pii]})
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    results = pages.select("url", "html", "text").mapInPandas(
+        _extract_batches(ExtractConfig()), schema=RESULTS_WITH_PID)
+    keyed = results.withColumn(
+        "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1))
+
+    stats = keyed.groupBy("host").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+    def sink(batch_df, batch_id: int) -> None:
+        # foreachBatch (checkpoint-recoverable, unlike the memory sink):
+        # append each update batch; consumers take the latest row per host.
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_dir))
+
+    return (
+        stats.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

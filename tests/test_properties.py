@@ -79,3 +79,47 @@ def test_merge_and_resolve_invariants(raw):
         assert x.end <= y.start  # fully resolved: no overlaps remain
     # idempotent
     assert merge_and_resolve(out) == out
+
+
+def _brute_force_viterbi(em, labels, o_id):
+    """Exhaustive best-legal-path search (tiny T, C) with the same
+    tie-break as the DP: lexicographically-first among max-score paths."""
+    import itertools
+
+    trans = bio_transitions(labels)
+    start_ok = [split_label(lab)[0] != "I"
+                and (lab == "O" or split_label(lab)[1] is not None)
+                for lab in labels]
+    t, c = em.shape
+    best_score, best_path = None, None
+    for path in itertools.product(range(c), repeat=t):
+        if not start_ok[path[0]]:
+            continue
+        if any(trans[p, q] != 0.0 for p, q in zip(path, path[1:])):
+            continue
+        score = float(sum(em[i, p] for i, p in enumerate(path)))
+        if best_score is None or score > best_score + 1e-6:
+            best_score, best_path = score, path
+    return best_score, best_path
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 5).flatmap(
+        lambda t: st.lists(
+            st.lists(st.integers(-40, 40).map(lambda v: v / 4.0),
+                     min_size=5, max_size=5),
+            min_size=t, max_size=t,
+        )
+    )
+)
+def test_viterbi_matches_brute_force_score(rows):
+    """On a reduced 5-label space (O, B-A, I-A, B-B, I-B) the DP (including
+    the argmax shortcut) must attain exactly the brute-force optimal score.
+    Quarter-integer emissions make score comparison exact in fp32."""
+    labels = ["O", "B-A", "I-A", "B-B", "I-B"]
+    em = np.asarray(rows, dtype=np.float32)
+    path = viterbi_bio(em, labels, 0)
+    got = float(sum(em[i, p] for i, p in enumerate(path)))
+    best, _ = _brute_force_viterbi(em, labels, 0)
+    assert got == best, (path, got, best)

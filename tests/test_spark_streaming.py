@@ -45,3 +45,45 @@ def test_stream_extract_incremental(spark, tmp_path):
         assert s["extracted_text"] == b["extracted_text"]
         assert s["spans"] == b["spans"]
         assert s["should_be_public"] == b["should_be_public"]
+
+
+def _latest_per_host(spark, out_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(out_dir)
+    w = Window.partitionBy("host").orderBy(F.col("batch_id").desc())
+    return {
+        r["host"]: r
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1").collect()
+    }
+
+
+def test_stateful_host_stats_accumulate_across_restarts(spark, tmp_path):
+    from pii_spark.streaming import host_stats_stream
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "stats")
+
+    first = pages_df(spark, 30, seed=55)
+    first.write.mode("append").parquet(in_dir)
+    q = host_stats_stream(spark, in_dir, ckpt, out)
+    q.awaitTermination(180)
+    t1 = _latest_per_host(spark, out)
+    assert sum(r["docs"] for r in t1.values()) == 30
+    assert all(r["pii_docs"] <= r["docs"] for r in t1.values())
+
+    # more pages land; restart must resume state from the checkpoint and
+    # ACCUMULATE (not restart from zero)
+    more = pages_df(spark, 60, seed=55).where("url LIKE '%/4_'")
+    n_more = more.count()
+    assert n_more > 0
+    more.write.mode("append").parquet(in_dir)
+    q2 = host_stats_stream(spark, in_dir, ckpt, out)
+    q2.awaitTermination(180)
+    t2 = _latest_per_host(spark, out)
+    assert sum(r["docs"] for r in t2.values()) == 30 + n_more
+    for host, r in t1.items():
+        assert t2[host]["docs"] >= r["docs"]
