@@ -71,6 +71,12 @@ class _ContentParser(HTMLParser):
         self._cur = _Block("body")
         self._drop_depth = 0
         self._link_depth = 0
+        # Open-element stack: (tag, adds_drop, adds_link). End tags pop by
+        # name with implied-end-tag recovery (everything above the matched
+        # element is closed too), so unclosed tags — <li>/<p> without end
+        # tags are valid HTML, unclosed <a> is ubiquitous in the wild —
+        # cannot leak drop/link state over the rest of the document.
+        self._stack: list[tuple[str, bool, bool]] = []
 
     # -- helpers --
     def _flush(self, next_tag: str) -> None:
@@ -85,27 +91,40 @@ class _ContentParser(HTMLParser):
                 return True
         return False
 
+    def _pop_entry(self, entry: tuple[str, bool, bool]) -> None:
+        _tag, adds_drop, adds_link = entry
+        if adds_drop:
+            self._drop_depth -= 1
+        if adds_link and self._link_depth:
+            self._link_depth -= 1
+
     # -- parser events --
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        adds_drop = tag in _DROP_SUBTREE or self._is_boiler(attrs)
+        adds_link = tag == "a" and not adds_drop and not self._drop_depth
+        if tag not in _VOID_TAGS:
+            self._stack.append((tag, adds_drop, adds_link))
+        if adds_drop:
+            self._drop_depth += 1
+            return
         if self._drop_depth:
-            if tag not in _VOID_TAGS:
-                self._drop_depth += 1
             return
-        if tag in _DROP_SUBTREE or self._is_boiler(attrs):
-            if tag not in _VOID_TAGS:
-                self._drop_depth = 1
-            return
-        if tag == "a":
+        if adds_link:
             self._link_depth += 1
         if tag in _BLOCK_TAGS:
             self._flush(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        if self._drop_depth:
-            self._drop_depth -= 1
+        was_dropping = self._drop_depth > 0
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                while len(self._stack) > i:
+                    self._pop_entry(self._stack.pop())
+                break
+        else:
+            return  # stray end tag: no matching open element
+        if was_dropping:
             return
-        if tag == "a" and self._link_depth:
-            self._link_depth -= 1
         if tag in _BLOCK_TAGS:
             self._flush("body")
 

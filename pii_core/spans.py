@@ -27,7 +27,7 @@ from typing import NamedTuple
 import numpy as np
 
 from pii_core.decoding import softmax, split_label
-from pii_core.labels import ENTITY_TYPES, sanitize_value
+from pii_core.labels import CNPJ_SHAPE, ENTITY_TYPES, _IDISH, sanitize_value
 
 
 class Span(NamedTuple):
@@ -188,8 +188,6 @@ def merge_and_resolve(spans: list[Span], *, resolve_overlaps: bool = True) -> li
 # Gold-span construction (eval path)
 # ---------------------------------------------------------------------------
 
-_CNPJ_SHAPE = re.compile(r"^\d{2}\.?\d{3}\.?\d{3}/?\d{4}-?\d{2}$")
-_NUMERIC_ID = re.compile(r"[0-9][0-9.\-/]{5,}")
 _IE_MARK = re.compile(r"(?i)(?:^|[^a-z])i\.?\s*e\.?(?:[^a-z]|$)")
 _IM_MARK = re.compile(r"(?i)(?:^|[^a-z])i\.?\s*m\.?(?:[^a-z]|$)")
 
@@ -211,7 +209,7 @@ def looks_like_company_id(value: str) -> bool:
         return False
     if sum(c.isdigit() for c in v) < 6:
         return False
-    return bool(_CNPJ_SHAPE.fullmatch(v) or _NUMERIC_ID.fullmatch(v))
+    return bool(CNPJ_SHAPE.fullmatch(v) or _IDISH.fullmatch(v))
 
 
 def company_keyword_near(text: str, value: str, window: int = 40) -> bool:

@@ -61,10 +61,17 @@ def _near_union_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles(df: DataFrame) -> DataFrame:
     """(doc_id, sh): distinct 3-gram word shingles per doc. Built with
-    sequence + transform (no UDF); explode is the only row-expansion."""
+    sequence + transform (no UDF); explode is the only row-expansion.
+
+    Docs with fewer than 3 tokens yield no shingles — guarded explicitly:
+    Spark's sequence(1, 0) counts DOWN to [1, 0] (unlike DuckDB's empty
+    generate_series), which would index element_at out of bounds."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        idx,
         lambda i: F.concat_ws(
             " ",
             F.element_at(toks, i),

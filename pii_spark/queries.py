@@ -157,9 +157,9 @@ def cnpj_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select(
         F.expr(sf.cnpj_candidate_sql()).alias("cand"))
-    return d.agg(
-        F.sum(ok("cand").cast("long")).alias("n_valid"),
-        F.sum((~ok("cand")).cast("long")).alias("n_invalid"),
+    return d.withColumn("v", ok("cand")).agg(
+        F.sum(F.col("v").cast("long")).alias("n_valid"),
+        F.sum((~F.col("v")).cast("long")).alias("n_invalid"),
         F.count("*").alias("n_total"),
     )
 
@@ -392,7 +392,7 @@ def excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS new_sess
@@ -400,7 +400,7 @@ def excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
     ), per AS (

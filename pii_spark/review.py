@@ -37,7 +37,10 @@ def apply_review(
         "left",
     )
     keep = F.col("type").isNotNull() if mode == "semi" else F.col("type").isNull()
-    kept = joined.where(F.col("s").isNull() | keep)
+    # Null out filtered spans instead of dropping their rows: a document whose
+    # spans are ALL filtered must survive with spans=[] (and recomputed
+    # should_be_public), not vanish from the output.
+    kept = joined.withColumn("s", F.when(keep, F.col("s")))
 
     from pii_core.labels import PII_TYPES
 
