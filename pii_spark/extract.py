@@ -71,9 +71,20 @@ def _extract_batches(cfg: ExtractConfig):
             out = {
                 "url": [], "extracted_text": [], "spans": [],
                 "should_be_public": [], "n_spans": [], "doc_bytes": [],
+                "error": [],
             }
             for url, html, text in zip(urls, htmls, texts):
-                rec = extract_page(url, html, text, cfg, emitter, tokenizer)
+                try:
+                    rec = extract_page(url, html, text, cfg, emitter, tokenizer)
+                    err = None
+                except Exception as e:  # noqa: BLE001 — quarantine, don't kill
+                    # One pathological page (e.g. a multi-kB unbroken char
+                    # run that defeats the chunker's word-boundary budget,
+                    # reference-parity fail-fast) must not abort a cluster
+                    # job. FAIL-CLOSED: an unscanned page is never public.
+                    rec = {"url": url, "extracted_text": "", "spans": [],
+                           "should_be_public": False}
+                    err = f"{type(e).__name__}: {e}"[:500]
                 out["url"].append(rec["url"])
                 out["extracted_text"].append(rec["extracted_text"])
                 out["spans"].append(rec["spans"])
@@ -81,6 +92,7 @@ def _extract_batches(cfg: ExtractConfig):
                 out["n_spans"].append(len(rec["spans"]))
                 out["doc_bytes"].append(
                     len(rec["extracted_text"].encode("utf-8")))
+                out["error"].append(err)
             res = pd.DataFrame(out)
             res["partition_id"] = pid
             yield res

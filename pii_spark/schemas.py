@@ -40,6 +40,9 @@ RESULTS_SCHEMA = T.StructType(
         T.StructField("should_be_public", T.BooleanType(), False),
         T.StructField("n_spans", T.IntegerType(), False),
         T.StructField("doc_bytes", T.LongType(), False),
+        # null on success; on per-doc failure the row is quarantined in place
+        # (fail-closed: should_be_public=false) instead of killing the job.
+        T.StructField("error", T.StringType(), True),
     ]
 )
 

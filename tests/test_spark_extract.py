@@ -104,3 +104,28 @@ def test_edge_docs(results):
     cpf_spans = [s for s in dup["spans"] if s["type"] == "DOC_PESSOAL"]
     assert len(cpf_spans) == 2
     assert cpf_spans[0]["value"] == cpf_spans[1]["value"]
+
+
+def test_pathological_doc_quarantined_not_fatal(spark):
+    """A page that defeats the chunker (multi-kB unbroken char run — the
+    reference-parity fail-fast, chunking.py) must quarantine in place with
+    error set and should_be_public=False (fail-closed), not kill the job."""
+    import datetime as dt
+
+    from pii_spark.extract import extract_pages
+    from pii_spark.schemas import PAGES_SCHEMA
+
+    ts = dt.datetime(2025, 1, 1)
+    giant = ("x" * 20000) + " fim"
+    rows = [
+        ("https://ok.example/1", ts, None, "Texto normal com CPF 529.982.247-25 presente.", "pt"),
+        ("https://bad.example/2", ts, None, giant, "pt"),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = {r["url"]: r for r in extract_pages(df, num_partitions=2).collect()}
+    ok = got["https://ok.example/1"]
+    assert ok["error"] is None and ok["n_spans"] >= 1
+    bad = got["https://bad.example/2"]
+    assert bad["error"] is not None and "max_length" in bad["error"]
+    assert bad["should_be_public"] is False  # fail-closed
+    assert bad["spans"] == [] and bad["extracted_text"] == ""
