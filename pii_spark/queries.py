@@ -938,3 +938,33 @@ def chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("s.n_chunks").alias("n_chunks"),
         F.col("s.covered").alias("covered"))
     return out.orderBy("doc_id")
+
+
+@register("build_dataset")  # rows-only: chunk boundaries are chunker-defined
+def build_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training-dataset build (reference
+    build_finetune_jsonl.py): annotate documents that contain a known token,
+    chunk under a small budget and slice entities per chunk. Invariants are
+    pytest-pinned (tests/test_dataset.py); this exercises the executor-side
+    plumbing over the real table."""
+    from pii_core.pipeline import ExtractConfig
+    from pii_spark.dataset import build_chunked_dataset
+
+    d = _t(spark, sf_dir, "documents").where("doc_id < 120")
+    annotated = d.select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        "text",
+        F.when(
+            F.col("text").contains(" table "),
+            F.array(F.struct(F.lit("QUASI_IDENTIFICADOR").alias("type"),
+                             F.lit("table").alias("value"))),
+        ).otherwise(F.array().cast(
+            "array<struct<type:string,value:string>>")).alias("entities"),
+    )
+    cfg = ExtractConfig(max_length=64, stride=16, boundary_backoff=8)
+    out = build_chunked_dataset(annotated, cfg)
+    return out.select(
+        "doc_key", "chunk_index", "char_start", "char_end",
+        F.size("entities").alias("n_entities"),
+        (F.col("error").isNotNull()).alias("failed"),
+    ).orderBy("doc_key", "chunk_index")
