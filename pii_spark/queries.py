@@ -968,3 +968,42 @@ def build_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("entities").alias("n_entities"),
         (F.col("error").isNotNull()).alias("failed"),
     ).orderBy("doc_key", "chunk_index")
+
+
+@register(
+    "curation_pipeline",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= 30
+    ),
+    deduped AS (
+      SELECT lang, n_tok,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM quality
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM deduped WHERE rn = 1
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation composition: quality gate (token
+    count) → exact dedup (content-hash, keep lowest doc_id) → corpus stats
+    per lang. The shapes that matter at 100 TB: the dedup shuffle carries
+    (md5, doc_id, n_tok) — never the text."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    quality = d.select("doc_id", "lang", F.md5("text").alias("fp"),
+                       n_tok.alias("n_tok")).where(F.col("n_tok") >= 30)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = quality.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return (
+        deduped.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("lang")
+    )
