@@ -167,3 +167,69 @@ def write_report(pred, gold, path: str) -> dict:
     with open(path, "w") as f:
         f.write(render_report(m, per_type))
     return m
+
+
+def token_metrics(pred, gold, text_col: str = "extracted_text") -> dict:
+    """Token-level metric accumulators (reference A4,
+    infer_pii.py:716-724,919-960): tokenize each document with the shared
+    offset tokenizer, label every token by span containment (PII-only view),
+    count tp / predicted-positive / gold-positive per doc in a vectorized
+    pandas UDF, then one tiny sum.
+
+    pred must carry (url, text_col, spans); gold carries (url, spans).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from pii_core.labels import PII_TYPES  # noqa: PLC0415
+    from pii_core.tokenizer import WordTokenizer  # noqa: PLC0415
+
+    pii = frozenset(PII_TYPES)
+
+    j = (
+        pred.select("url", F.col(text_col).alias("txt"),
+                    F.col("spans").alias("ps"))
+        .join(gold.select("url", F.col("spans").alias("gs")), "url", "inner")
+    )
+
+    def covered(offs, spans) -> list[bool]:
+        ivs = sorted((s["start"], s["end"]) for s in spans
+                     if s["type"] in pii)
+        out, k = [], 0
+        for a, b in offs:
+            while k < len(ivs) and ivs[k][1] <= a:
+                k += 1
+            out.append(k < len(ivs) and ivs[k][0] < b)
+        return out
+
+    def counts(batches):
+        tok = WordTokenizer()
+        for pdf in batches:
+            rows = []
+            for text, p, g in zip(pdf["txt"], pdf["ps"], pdf["gs"]):
+                offs = tok.encode(text or "")
+                pc = covered(offs, p if p is not None else [])
+                gc = covered(offs, g if g is not None else [])
+                rows.append({
+                    "tp": sum(1 for x, y in zip(pc, gc) if x and y),
+                    "pred_pos": sum(pc),
+                    "gold_pos": sum(gc),
+                    "n_tok": len(offs),
+                })
+            yield pd.DataFrame(
+                rows, columns=["tp", "pred_pos", "gold_pos", "n_tok"])
+
+    row = (
+        j.mapInPandas(
+            counts, schema="tp long, pred_pos long, gold_pos long, n_tok long")
+        .agg(F.sum("tp").alias("tp"),
+             F.sum("pred_pos").alias("pred_pos"),
+             F.sum("gold_pos").alias("gold_pos"),
+             F.sum("n_tok").alias("n_tok"))
+        .collect()[0]
+    )
+    p = row.tp / row.pred_pos if row.pred_pos else 0.0
+    r = row.tp / row.gold_pos if row.gold_pos else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"tp": row.tp, "pred_pos": row.pred_pos, "gold_pos": row.gold_pos,
+            "n_tokens": row.n_tok, "precision": p, "recall": r, "f1": f1}

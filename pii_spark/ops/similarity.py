@@ -211,3 +211,80 @@ def register_queries(register) -> None:
             F.col("ab").cast("double") * F.col("ab")
             >= 0.9999 * F.col("aa") * F.col("bb"))
         return scored.where(keep).select("id_a", "id_b").orderBy("id_a", "id_b")
+
+    _register_ivf(register)
+
+
+def _register_ivf(register) -> None:
+    n_cent = 8
+
+    oracle = f"""
+    WITH v AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS e
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {n_cent}),
+    assign AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT v.vec_id, v.e, cent.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_QDOT_SQL.format(dim=_DIM, a='v.e', b='cent.ce')} DESC,
+                          cent.cid) AS rn
+        FROM v CROSS JOIN cent
+      ) x WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, cid AS qcell FROM assign
+          WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT query_id, a.vec_id,
+             CAST({_QDOT_SQL.format(dim=_DIM, a='qe', b='a.e')} AS BIGINT) AS qdot
+      FROM q JOIN assign a ON a.cid = q.qcell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, qdot, rk FROM (
+      SELECT query_id, vec_id, qdot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, vec_id) AS rk
+      FROM scored
+    ) r WHERE rk <= {_K} ORDER BY query_id, rk
+    """
+
+    @register("knn_ivf", oracle=oracle)
+    def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-style ANN: a deterministic coarse quantizer (the first 8
+        vectors as centroids) partitions the corpus into cells; each query
+        probes only its own cell. At 100 TB the corpus is *written*
+        partitioned by cell id, so probes are partition-pruned scans — the
+        assignment cross-join is corpus x 8 tiny broadcast rows, one pass."""
+        from pyspark.sql import Window
+
+        v = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", _quant("embedding").alias("e"))
+        cent = v.where(f"vec_id < {n_cent}").select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.col("qd").desc(), F.col("cid"))
+        assign = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("qd", _qdot(F.col("e"), F.col("ce")))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .where("rn = 1")
+            .select("vec_id", "e", "cid")
+        )
+        q = assign.where(f"vec_id < {_N_QUERIES}").select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+            F.col("cid").alias("qcell"))
+        scored = (
+            assign.join(F.broadcast(q),
+                        (assign.cid == q.qcell)
+                        & (assign.vec_id != q.query_id))
+            .select("query_id", "vec_id",
+                    _qdot(F.col("qe"), F.col("e")).alias("qdot"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("qdot").desc(), F.col("vec_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(f"rk <= {_K}")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "qdot", "rk")
+            .orderBy("query_id", "rk")
+        )

@@ -182,3 +182,26 @@ def test_jsonl_sink_roundtrip(spark, tmp_path, tiny_results):
     s = rec["spans"][0]
     assert {"type", "start", "end", "value", "conf", "n_tokens"} <= set(s)
     assert rec["extracted_text"][s["start"]:s["end"]] == s["value"]
+
+
+def test_token_metrics_counts(spark):
+    from pii_spark.evaljob import token_metrics
+
+    text = "aaa bbb ccc ddd"
+    mk = lambda t, s, e: {"type": t, "start": s, "end": e, "value": text[s:e],
+                          "conf": 1.0, "n_tokens": 1}
+    schema = ("url string, extracted_text string, spans array<struct<"
+              "type:string,start:int,end:int,value:string,conf:double,"
+              "n_tokens:int>>")
+    # pred covers tokens 1-2 (chars 4-11); gold covers tokens 2-3 (chars 8-15)
+    pred = spark.createDataFrame([("u", text, [mk("CONTATO", 4, 11)])], schema)
+    gold = spark.createDataFrame(
+        [("u", text, [mk("CONTATO", 8, 15)])], schema).select("url", "spans")
+    m = token_metrics(pred, gold)
+    assert m["n_tokens"] == 4
+    assert m["pred_pos"] == 2 and m["gold_pos"] == 2 and m["tp"] == 1
+    assert m["precision"] == 0.5 and m["recall"] == 0.5
+    # non-PII spans must not count
+    pred2 = spark.createDataFrame([("u", text, [mk("ORG_JURIDICA", 0, 15)])], schema)
+    m2 = token_metrics(pred2, gold)
+    assert m2["pred_pos"] == 0
