@@ -37,8 +37,7 @@ _NEAR_UNION = """
 """
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from pii_spark.util import read_table as _t  # noqa: E402
 
 
 def _exact_union_df(spark: SparkSession, sf_dir: str) -> DataFrame:

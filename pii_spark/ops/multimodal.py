@@ -61,8 +61,7 @@ def extract_features(docs_with_blob: DataFrame) -> DataFrame:
     return docs_with_blob.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from pii_spark.util import read_table as _t  # noqa: E402
 
 
 def register_queries(register) -> None:

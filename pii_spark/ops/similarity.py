@@ -23,8 +23,7 @@ _N_PLANES = 4
 _DIM = 64
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from pii_spark.util import read_table as _t  # noqa: E402
 
 
 def _quant(col):

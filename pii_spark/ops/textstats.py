@@ -13,8 +13,7 @@ _MARKERS = ["table", "query", "stream", "vector"]
 _STOPWORDS = ["a", "the"]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from pii_spark.util import read_table as _t  # noqa: E402
 
 
 def register_queries(register) -> None:

@@ -38,8 +38,7 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from pii_spark.util import checksum_udf, read_table as _t  # noqa: E402
 
 
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,9 +123,7 @@ def cpf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF; the oracle re-derives mod-11 independently in SQL."""
     from pii_core.detectors import cpf_checksum_ok
 
-    @F.pandas_udf("boolean")
-    def ok(s: pd.Series) -> pd.Series:
-        return s.map(cpf_checksum_ok)
+    ok = checksum_udf(cpf_checksum_ok)
 
     d = _t(spark, sf_dir, "documents").select(
         "lang", F.expr(sf.cpf_candidate_sql()).alias("cand"))
@@ -151,9 +148,7 @@ def cpf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cnpj_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_core.detectors import cnpj_checksum_ok
 
-    @F.pandas_udf("boolean")
-    def ok(s: pd.Series) -> pd.Series:
-        return s.map(cnpj_checksum_ok)
+    ok = checksum_udf(cnpj_checksum_ok)
 
     d = _t(spark, sf_dir, "documents").select(
         F.expr(sf.cnpj_candidate_sql()).alias("cand"))
@@ -185,9 +180,7 @@ def should_be_public(spark: SparkSession, sf_dir: str) -> DataFrame:
     has_pii = valid CPF present OR phone detected; public = NOT has_pii."""
     from pii_core.detectors import cpf_checksum_ok
 
-    @F.pandas_udf("boolean")
-    def ok(s: pd.Series) -> pd.Series:
-        return s.map(cpf_checksum_ok)
+    ok = checksum_udf(cpf_checksum_ok)
 
     d = _t(spark, sf_dir, "documents").select(
         "lang",
@@ -342,9 +335,7 @@ def company_id_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     relabel DOC_EMPRESA."""
     from pii_core.detectors import cnpj_checksum_ok
 
-    @F.pandas_udf("boolean")
-    def ok(s: pd.Series) -> pd.Series:
-        return s.map(cnpj_checksum_ok)
+    ok = checksum_udf(cnpj_checksum_ok)
 
     d = _t(spark, sf_dir, "documents").select(
         F.expr(sf.cnpj_candidate_sql()).alias("cand"),

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pii_core.labels import PII_TYPES
+
 
 def apply_review(
     results: DataFrame, review: DataFrame, mode: str = "semi"
@@ -42,14 +44,12 @@ def apply_review(
     # should_be_public), not vanish from the output.
     kept = joined.withColumn("s", F.when(keep, F.col("s")))
 
-    from pii_core.labels import PII_TYPES
-
     regrouped = (
         kept.groupBy("url")
         .agg(
             F.first("extracted_text").alias("extracted_text"),
             F.array_sort(
-                F.filter(F.collect_list("s"), lambda s: s.isNotNull()),
+                F.collect_list("s"),  # collect_list drops nulls
                 lambda a, b: F.when(a.start < b.start, -1)
                 .when(a.start > b.start, 1)
                 .when(a.end < b.end, -1)
