@@ -205,3 +205,22 @@ def test_token_metrics_counts(spark):
     pred2 = spark.createDataFrame([("u", text, [mk("ORG_JURIDICA", 0, 15)])], schema)
     m2 = token_metrics(pred2, gold)
     assert m2["pred_pos"] == 0
+
+
+def test_sql_views_surface(spark, sf_dir, tiny_results):
+    from pii_spark.sqlviews import register_views
+
+    names = register_views(spark, sf_dir, results=tiny_results)
+    assert "documents" in names and "results" in names
+    n = spark.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+    assert n > 0
+    row = spark.sql("""
+        SELECT count(*) AS pii_docs FROM results WHERE NOT should_be_public
+    """).collect()[0]
+    assert row["pii_docs"] >= 0
+    j = spark.sql("""
+        SELECT r.url, s.type, s.value
+        FROM results r LATERAL VIEW explode(r.spans) t AS s
+        LIMIT 5
+    """).collect()
+    assert all(x["type"] for x in j)
