@@ -115,13 +115,17 @@ def viterbi_bio(
     free_l = free_cols.tolist()
     ipairs = [(int(ci), int(pb), int(pi))
               for ci, (pb, pi) in zip(i_cols.tolist(), i_prev.tolist())]
+    # Malformed-label columns keep the default nxt below: dense-DP semantics
+    # give them gbest + NEG each step (trans[:, ci] == NEG), NOT a constant
+    # NEG — with a constant, once accumulated scores sink below -1e4 a
+    # "forbidden" column would win max(score).
     score = [e + s for e, s in zip(em_rows[0], start.tolist())]
     back: list[list[int]] = [[0] * c]
     neg = float(NEG)
     for ti in range(1, t):
         gbest = max(score)
         g = score.index(gbest)
-        nxt = [neg] * c
+        nxt = [gbest + neg] * c
         bk = [g] * c
         for ci in free_l:
             nxt[ci] = gbest

@@ -105,7 +105,11 @@ class _ContentParser(HTMLParser):
         if tag not in _VOID_TAGS:
             self._stack.append((tag, adds_drop, adds_link))
         if adds_drop:
-            self._drop_depth += 1
+            # Void tags are never pushed, so nothing would ever decrement the
+            # counter: a boilerplate-classed <img>/<input> must not start a
+            # drop (it has no content to drop anyway).
+            if tag not in _VOID_TAGS:
+                self._drop_depth += 1
             return
         if self._drop_depth:
             return
@@ -115,17 +119,18 @@ class _ContentParser(HTMLParser):
             self._flush(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        was_dropping = self._drop_depth > 0
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i][0] == tag:
                 while len(self._stack) > i:
                     self._pop_entry(self._stack.pop())
                 break
-        else:
-            return  # stray end tag: no matching open element
-        if was_dropping:
-            return
-        if tag in _BLOCK_TAGS:
+        # Flush on the MATCHED element being a block tag (or a stray block end
+        # tag — </br>/</p> with no open element occur in wild HTML), provided
+        # the parser is no longer inside a dropped subtree. Using the current
+        # drop state rather than the pre-pop state means closing a block that
+        # wraps an open boilerplate child (<div>text<span class="ad">…</div>)
+        # still flushes the accumulated block.
+        if tag in _BLOCK_TAGS and not self._drop_depth:
             self._flush("body")
 
     def handle_data(self, data: str) -> None:

@@ -80,6 +80,22 @@ def test_malformed_labels_stay_forbidden():
     assert trans[0, 0] == 0.0
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_malformed_label_never_wins_under_deep_negative_scores(seed):
+    # Regression: with strongly negative emissions over enough steps the
+    # accumulated path score sinks below -1e4; a malformed column whose DP
+    # next-score was a CONSTANT -1e4 (instead of gbest - 1e4, the dense
+    # transition-matrix semantics) would then win max(score).
+    labels = ["O", "B-A", "I-A", "garbage"]
+    rng = np.random.RandomState(seed)
+    t = 6
+    em = (rng.randn(t, len(labels)) * 3 - 4000).astype(np.float32)
+    em[:, 3] += 10  # make the malformed column the per-row argmax bait
+    got = viterbi_bio(em, labels, o_id=0)
+    assert 3 not in got
+    assert got == brute_force(em, labels)
+
+
 def test_softmax_stable_and_normalized():
     x = np.array([[1000.0, 1000.0, 999.0], [-1000.0, 0.0, 1.0]], dtype=np.float32)
     p = softmax(x)

@@ -73,6 +73,49 @@ def test_golden_full_page():
     assert html_to_text(html) == expect
 
 
+def test_void_boilerplate_tag_does_not_drop_following_content():
+    # Regression: a boilerplate-classed VOID tag (<img>, <input>) is never
+    # pushed on the stack, so if it incremented _drop_depth nothing would
+    # ever decrement it and all following text vanished (fail-open PII risk).
+    html = b"""<body>
+    <img class="footer-logo" src="x.png">
+    <p>Conteudo apos a imagem decorativa deve permanecer visivel aqui.</p>
+    <input id="comment" type="text">
+    <p>E este texto apos o campo de comentario tambem deve permanecer.</p>
+    </body>"""
+    assert html_to_text(html) == (
+        "Conteudo apos a imagem decorativa deve permanecer visivel aqui.\n\n"
+        "E este texto apos o campo de comentario tambem deve permanecer."
+    )
+
+
+def test_block_close_with_open_boilerplate_child_still_flushes():
+    # Regression: </div> closing a block that wraps a still-open boilerplate
+    # child must flush the text accumulated before the child opened.
+    html = (
+        b'<body><div>Texto principal do bloco externo antes do anuncio aqui.'
+        b'<span class="ad">compre agora</span></div>'
+        b"<p>Segundo bloco de conteudo relevante apos o primeiro terminar.</p></body>"
+    )
+    assert html_to_text(html) == (
+        "Texto principal do bloco externo antes do anuncio aqui.\n\n"
+        "Segundo bloco de conteudo relevante apos o primeiro terminar."
+    )
+
+
+def test_stray_void_block_end_tag_delimits_blocks():
+    # </br> with no matching open element occurs in wild HTML and must still
+    # delimit blocks (it is a block tag even when stray).
+    html = (
+        b"<body>Primeira linha de texto longa o suficiente para manter.</br>"
+        b"Segunda linha igualmente longa o suficiente para ser mantida.</body>"
+    )
+    assert html_to_text(html) == (
+        "Primeira linha de texto longa o suficiente para manter.\n\n"
+        "Segunda linha igualmente longa o suficiente para ser mantida."
+    )
+
+
 def test_deterministic():
     html = b"<body><p>Conteudo principal repetivel e deterministico sem estado.</p></body>"
     assert html_to_text(html) == html_to_text(html)
