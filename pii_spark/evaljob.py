@@ -120,7 +120,70 @@ def per_type_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
     ).orderBy("type")
 
 
-def render_report(metrics: dict, per_type_rows: list | None = None) -> str:
+def error_bucket_samples(
+    pred: DataFrame,
+    gold: DataFrame,
+    text_col: str = "extracted_text",
+    max_items: int = 20,
+    max_chars: int = 160,
+) -> DataFrame:
+    """Per-document binary-confusion bucket assignment + capped sample
+    records (reference A10, infer_pii.py:1028-1054: sample_rec dicts routed
+    into samples_fp/fn/tp/tn; excerpt semantics at infer_pii.py:767-768).
+
+    Returns at most ``max_items`` rows per bucket, deterministically the
+    first by url — the distributed analogue of the reference's first-N file
+    order. Two-phase top-k keeps the plan scale-safe: a window partitioned
+    by (bucket, input partition) prunes each partition to max_items rows
+    BEFORE the per-bucket window, so the final sort touches at most
+    max_items × n_partitions rows, never the tp/tn bulk of the corpus.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    pii = list(PII_TYPES)
+    j = (
+        pred.select("url", F.col(text_col).alias("txt"),
+                    F.col("spans").alias("pred_spans"))
+        .join(gold.select("url", F.col("spans").alias("gold_spans")),
+              "url", "full")
+    )
+    pred_pii = F.coalesce(
+        F.exists("pred_spans", lambda s: s.type.isin(pii)), F.lit(False))
+    gold_pii = F.coalesce(
+        F.exists("gold_spans", lambda s: s.type.isin(pii)), F.lit(False))
+    norm = F.trim(F.regexp_replace(F.coalesce("txt", F.lit("")), r"\s+", " "))
+    excerpt = F.when(
+        F.length(norm) <= max_chars, norm
+    ).otherwise(F.concat(F.substring(norm, 1, max_chars - 1), F.lit("…")))
+    assigned = j.select(
+        "url",
+        F.when(pred_pii & gold_pii, "tp")
+        .when(pred_pii, "fp")
+        .when(gold_pii, "fn")
+        .otherwise("tn").alias("bucket"),
+        (~gold_pii).alias("gold_should_be_public"),
+        (~pred_pii).alias("pred_should_be_public"),
+        excerpt.alias("excerpt"),
+        F.coalesce(F.size("pred_spans"), F.lit(0)).alias("n_pred_spans"),
+        F.coalesce(F.size("gold_spans"), F.lit(0)).alias("n_gold_spans"),
+    )
+    w_local = Window.partitionBy("bucket", "pid").orderBy("url")
+    w_global = Window.partitionBy("bucket").orderBy("url")
+    return (
+        assigned.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w_local))
+        .where(F.col("rn") <= max_items)
+        .drop("pid", "rn")
+        .withColumn("rn", F.row_number().over(w_global))
+        .where(F.col("rn") <= max_items)
+        .drop("rn")
+        .orderBy("bucket", "url")
+    )
+
+
+def render_report(metrics: dict, per_type_rows: list | None = None,
+                  sample_rows: list | None = None,
+                  max_items: int = 20) -> str:
     """Markdown eval report (reference S7, eval_report.py:240-372): headline
     P1, binary confusion, strict span PRF, per-type table."""
     b = metrics["binary_pii"]
@@ -156,16 +219,55 @@ def render_report(metrics: dict, per_type_rows: list | None = None) -> str:
             lines.append(
                 f"| {r['type']} | {r['tp']} | {r['pred']} | {r['gold']} | "
                 f"{r['precision']:.4f} | {r['recall']:.4f} | {r['f1']:.4f} |")
+    if sample_rows is not None:
+        # Error-bucket samples (reference eval_report.py:171-238,355-370):
+        # counts for every bucket, detail records for the error buckets
+        # (fp/fn — what a user debugging model quality reads first).
+        by_bucket: dict[str, list] = {}
+        for r in sample_rows:
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        lines += ["", "## Error samples", "",
+                  "| bucket | shown |", "|---|---|"]
+        for bk in ("fp", "fn", "tp", "tn"):
+            lines.append(f"| {bk} | {len(by_bucket.get(bk, []))} |")
+        for bk in ("fp", "fn"):
+            items = by_bucket.get(bk, [])
+            lines += ["", f"### {'False positives' if bk == 'fp' else 'False negatives'} (document)", ""]
+            if not items:
+                lines.append("_None_")
+                continue
+            if len(items) >= max_items:
+                lines.append(f"_Showing first {max_items} samples._")
+                lines.append("")
+            for s in items[:max_items]:
+                lines.append(
+                    f"- `{s['url']}` — publishable gold={s['gold_should_be_public']} "
+                    f"pred={s['pred_should_be_public']} · pred_spans={s['n_pred_spans']} "
+                    f"gold_spans={s['n_gold_spans']}")
+                if s.get("excerpt"):
+                    lines.append(f"  > {s['excerpt']}")
     return "\n".join(lines) + "\n"
 
 
-def write_report(pred, gold, path: str) -> dict:
-    """Full eval job: metrics + per-type + markdown report to ``path``.
-    Returns the metrics dict (reference `eval` subcommand shape)."""
+def write_report(pred, gold, path: str, text_col: str | None = None,
+                 max_items: int = 20) -> dict:
+    """Full eval job: metrics + per-type + error-bucket samples + markdown
+    report to ``path``. Returns the metrics dict (reference `eval`
+    subcommand shape). Samples are included when pred carries a text column
+    (pass ``text_col``); without text the bucket assignment still renders,
+    with empty excerpts."""
     m = span_metrics(pred, gold)
     per_type = [r.asDict() for r in per_type_metrics(pred, gold).collect()]
+    if text_col is None:
+        sample_src = pred.withColumn("__txt", F.lit(""))
+        samples_df = error_bucket_samples(
+            sample_src, gold, text_col="__txt", max_items=max_items)
+    else:
+        samples_df = error_bucket_samples(
+            pred, gold, text_col=text_col, max_items=max_items)
+    samples = [r.asDict() for r in samples_df.collect()]
     with open(path, "w") as f:
-        f.write(render_report(m, per_type))
+        f.write(render_report(m, per_type, samples, max_items=max_items))
     return m
 
 

@@ -11,7 +11,9 @@ Scale notes (the part that matters at 100 TB):
   from a self-join on band_key whose per-key group size is bounded by design
   (band collisions), so no quadratic blowup — THE standard web-dedup shape.
 * n-gram Jaccard here joins on shared shingles with a candidate filter; at
-  real scale it runs only on LSH candidate pairs (composed below).
+  real scale it runs only on LSH candidate pairs — ``dedup_lsh_jaccard``
+  below IS that composition (LSH prune → exact-Jaccard verify), the plan
+  every production web-dedup job runs.
 """
 
 from __future__ import annotations
@@ -90,6 +92,36 @@ _SHINGLES_SQL = """
 """
 
 
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs (id_a < id_b) from a (doc_id, sh) frame:
+    8 string-minhashes (min over md5(perm|shingle)) → 4 bands of 2 →
+    self-join on band key. Shuffles only (band_key, doc_id)."""
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("sh")))).alias(f"h{p}")
+        for p in range(_N_PERM)
+    ])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"h{b * _BAND}"),
+                               F.col(f"h{b * _BAND + 1}"))).alias("bk"),
+            )
+            for b in range(_N_PERM // _BAND)
+        ])).alias("x"),
+    ).select("doc_id", "x.band", "x.bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
 def register_queries(register) -> None:
     @register(
         "dedup_exact",
@@ -145,31 +177,7 @@ def register_queries(register) -> None:
         4 bands of 2 → self-join on band key. Shuffles only (band_key,
         doc_id)."""
         sh = _shingles(_near_union_df(spark, sf_dir))
-        sig = sh.groupBy("doc_id").agg(*[
-            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("sh")))).alias(f"h{p}")
-            for p in range(_N_PERM)
-        ])
-        bands = sig.select(
-            "doc_id",
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat(F.col(f"h{b * _BAND}"),
-                                   F.col(f"h{b * _BAND + 1}"))).alias("bk"),
-                )
-                for b in range(_N_PERM // _BAND)
-            ])).alias("x"),
-        ).select("doc_id", "x.band", "x.bk")
-        a, b = bands.alias("a"), bands.alias("b")
-        pairs = (
-            a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bk") == F.col("b.bk"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"))
-            .distinct()
-        )
-        return pairs.orderBy("id_a", "id_b")
+        return _lsh_candidates(sh).orderBy("id_a", "id_b")
 
     # --- n-gram Jaccard ----------------------------------------------------
     @register(
@@ -218,6 +226,72 @@ def register_queries(register) -> None:
             j.where(jac >= 500)
             .select("id_a", "id_b",
                     F.floor(jac).cast("long").alias("jac_pm"))
+            .orderBy("id_a", "id_b")
+        )
+
+    # --- LSH-pruned Jaccard (the production composition) --------------------
+    @register(
+        "dedup_lsh_jaccard",
+        oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL.format(union=_NEAR_UNION)}),
+        sig0 AS (SELECT doc_id, {minhash_aggs_sql} FROM sh GROUP BY doc_id),
+        sigs AS (SELECT doc_id, {band_keys_sql} FROM sig0),
+        bands AS ({bands_union_sql}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               CAST(floor(i * 1000.0 / (ca.n + cb.n - i)) AS BIGINT) AS jac_pm,
+               i * 1000.0 / (ca.n + cb.n - i) >= 500 AS is_dup
+        FROM inter
+        JOIN card ca ON ca.doc_id = id_a
+        JOIN card cb ON cb.doc_id = id_b
+        ORDER BY id_a, id_b
+        """,
+    )
+    def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Composed near-dup pipeline: MinHash+LSH candidate generation →
+        exact n-gram-Jaccard verification ON THE CANDIDATE PAIRS ONLY. This
+        is the plan a production web-dedup job runs: the shared-shingle join
+        (quadratic on hot shingles when run corpus-wide, see dedup_jaccard)
+        touches only pairs LSH already banded together, so its cost is
+        O(candidates × shingles-per-doc), never O(corpus²).
+
+        Shuffle discipline: LSH shuffles (band_key, doc_id); verification
+        shuffles (doc_id, sh) keyed to the candidate sides. Text never moves.
+        """
+        sh = _shingles(_near_union_df(spark, sf_dir))
+        cand = _lsh_candidates(sh)
+        card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a_sh = sh.select(F.col("doc_id").alias("id_a"), "sh")
+        b_sh = sh.select(F.col("doc_id").alias("id_b"), "sh")
+        inter = (
+            cand.join(a_sh, "id_a")
+            .join(b_sh, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("i"))
+        )
+        j = (
+            inter.join(card.withColumnRenamed("doc_id", "id_a")
+                       .withColumnRenamed("n", "na"), "id_a")
+            .join(card.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("n", "nb"), "id_b")
+        )
+        jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
+        return (
+            j.select("id_a", "id_b",
+                     F.floor(jac).cast("long").alias("jac_pm"),
+                     (jac >= 500).alias("is_dup"))
             .orderBy("id_a", "id_b")
         )
 

@@ -193,3 +193,61 @@ def register_queries(register) -> None:
                     / (2 * F.col("tp") + F.col("fp") + F.col("fn")))
             .cast("long").alias("f1_x10000"),
         )
+
+    @register(
+        "eval_error_buckets",
+        oracle=r"""
+        WITH b AS (
+          SELECT doc_id,
+                 CASE WHEN pred AND gold THEN 'tp'
+                      WHEN pred THEN 'fp'
+                      WHEN gold THEN 'fn' ELSE 'tn' END AS bucket,
+                 NOT gold AS gold_should_be_public,
+                 NOT pred AS pred_should_be_public,
+                 substr(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 80)
+                   AS excerpt
+          FROM (SELECT doc_id, text, doc_id % 2 = 0 AS pred,
+                       doc_id % 7 < 3 AS gold
+                FROM documents) p
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                           ORDER BY doc_id) AS rn FROM b)
+        SELECT bucket, doc_id, gold_should_be_public, pred_should_be_public,
+               excerpt
+        FROM r WHERE rn <= 5 ORDER BY bucket, doc_id
+        """,
+    )
+    def eval_error_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Error-bucket sample records (reference A10,
+        infer_pii.py:1028-1054: per-doc sample_rec routed to
+        samples_fp/fn/tp/tn; first-N cap per eval_report.py:180-185).
+        Deterministic first-5 per bucket via a row_number window — the same
+        two-phase-prunable shape evaljob.error_bucket_samples uses on real
+        eval frames."""
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text",
+            (F.col("doc_id") % 2 == 0).alias("pred"),
+            (F.col("doc_id") % 7 < 3).alias("gold"),
+        )
+        b = d.select(
+            "doc_id",
+            F.when(F.col("pred") & F.col("gold"), "tp")
+            .when(F.col("pred"), "fp")
+            .when(F.col("gold"), "fn")
+            .otherwise("tn").alias("bucket"),
+            (~F.col("gold")).alias("gold_should_be_public"),
+            (~F.col("pred")).alias("pred_should_be_public"),
+            F.substring(
+                F.trim(F.regexp_replace("text", r"\s+", " ")), 1, 80
+            ).alias("excerpt"),
+        )
+        w = Window.partitionBy("bucket").orderBy("doc_id")
+        return (
+            b.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("bucket", "doc_id", "gold_should_be_public",
+                    "pred_should_be_public", "excerpt")
+            .orderBy("bucket", "doc_id")
+        )

@@ -98,6 +98,68 @@ def test_span_metrics_known_confusion(spark):
     assert per["DOC_PESSOAL"]["gold"] == 1 and per["DOC_PESSOAL"]["tp"] == 0
 
 
+def test_error_bucket_samples_membership_and_cap(spark):
+    from pii_spark.evaljob import error_bucket_samples
+
+    mk = lambda t: [{"type": t, "start": 0, "end": 3, "value": "x",
+                     "conf": 1.0, "n_tokens": 1}]
+    schema = ("url string, extracted_text string, spans array<struct<"
+              "type:string,start:int,end:int,value:string,conf:double,"
+              "n_tokens:int>>")
+    gschema = ("url string, spans array<struct<type:string,start:int,end:int,"
+               "value:string,conf:double,n_tokens:int>>")
+    # 4 tp, 3 fp, 2 fn, 1 tn — with a cap of 2 per bucket
+    pred_rows = (
+        [(f"tp{i}", "texto   com\nespacos", mk("CONTATO")) for i in range(4)]
+        + [(f"fp{i}", "x" * 500, mk("CONTATO")) for i in range(3)]
+        + [(f"fn{i}", "sem nada", []) for i in range(2)]
+        + [("tn0", "limpo", [])]
+    )
+    gold_rows = (
+        [(f"tp{i}", mk("DOC_PESSOAL")) for i in range(4)]
+        + [(f"fp{i}", []) for i in range(3)]
+        + [(f"fn{i}", mk("CONTATO")) for i in range(2)]
+        + [("tn0", [])]
+    )
+    pred = spark.createDataFrame(pred_rows, schema)
+    gold = spark.createDataFrame(gold_rows, gschema)
+    out = error_bucket_samples(pred, gold, max_items=2, max_chars=40).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["bucket"], []).append(r)
+    assert sorted(by) == ["fn", "fp", "tn", "tp"]
+    assert [len(by[b]) for b in ("tp", "fp", "fn", "tn")] == [2, 2, 2, 1]
+    # deterministic first-by-url within bucket
+    assert [r["url"] for r in by["tp"]] == ["tp0", "tp1"]
+    fp0 = by["fp"][0]
+    assert fp0["gold_should_be_public"] and not fp0["pred_should_be_public"]
+    assert len(fp0["excerpt"]) == 40 and fp0["excerpt"].endswith("…")
+    # whitespace runs collapsed in excerpts
+    assert by["tp"][0]["excerpt"] == "texto com espacos"
+
+
+def test_eval_report_includes_error_samples(spark, tmp_path):
+    from pii_spark.evaljob import write_report
+
+    mk = lambda t: [{"type": t, "start": 0, "end": 3, "value": "x",
+                     "conf": 1.0, "n_tokens": 1}]
+    schema = ("url string, extracted_text string, spans array<struct<"
+              "type:string,start:int,end:int,value:string,conf:double,"
+              "n_tokens:int>>")
+    gschema = ("url string, spans array<struct<type:string,start:int,end:int,"
+               "value:string,conf:double,n_tokens:int>>")
+    pred = spark.createDataFrame(
+        [("a", "documento com cpf aqui", mk("CONTATO")), ("b", "falso alarme", mk("CONTATO"))],
+        schema)
+    gold = spark.createDataFrame([("a", mk("CONTATO")), ("b", [])], gschema)
+    path = str(tmp_path / "report.md")
+    write_report(pred, gold, path, text_col="extracted_text")
+    body = open(path).read()
+    assert "## Error samples" in body
+    assert "### False positives (document)" in body
+    assert "`b`" in body and "falso alarme" in body
+
+
 def test_multimodal_plumbing(spark):
     from pii_spark.ops.multimodal import extract_features
 
