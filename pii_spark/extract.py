@@ -132,9 +132,9 @@ def extract_pages(
 
 def lineage_from_results(results: DataFrame, run_id: str) -> DataFrame:
     """Per-partition lineage counters (north rule): docs, bytes, spans by
-    type, keyed by (run_id, partition_id). Derived from the results frame so
-    it reflects exactly what was committed; cache ``results`` when computing
-    both to avoid re-extraction."""
+    type, keyed by (run_id, partition_id). Pass the COMMITTED results (read
+    back from storage, as resume.run_incremental does) so the counters
+    describe exactly what landed and extraction never re-runs."""
     per_type = (
         results.select("partition_id", F.explode_outer("spans").alias("s"))
         .groupBy("partition_id", F.col("s.type").alias("type"))

@@ -710,6 +710,52 @@ def review_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "review_add_missing",
+    oracle=f"""
+    WITH r AS ({_REVIEW_LIST_SQL.replace("SELECT ", "SELECT 'CONTATO' AS type, ", 1)}),
+    d AS (SELECT CAST(doc_id AS STRING) AS url, aug FROM {_AUG_FROM})
+    SELECT d.url, r.type, r.value,
+           CAST(instr(d.aug, r.value) - 1 AS INT) AS start,
+           CAST(instr(d.aug, r.value) - 1 + len(r.value) AS INT) AS "end"
+    FROM d JOIN r ON instr(d.aug, r.value) > 0
+    ORDER BY url, start, value
+    """,
+)
+def review_add_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full --add-missing semantics (reference pii_value_review.py:307-325)
+    via review.apply_missing: reviewed values literally present in the text
+    but absent from spans reappear as spans with greedy literal-occurrence
+    offsets. The oracle enumerates first-occurrence offsets directly — valid
+    because each synthetic email value embeds its doc_id, so it occurs
+    exactly once corpus-wide (greedy == first occurrence)."""
+    from pii_spark.review import apply_missing  # noqa: PLC0415
+
+    empty_spans = F.expr(
+        "CAST(array() AS array<struct<type:string,start:int,end:int,"
+        "value:string,conf:double,n_tokens:int>>)")
+    d = _aug_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("aug").alias("extracted_text"),
+        empty_spans.alias("spans"),
+    )
+    review = (
+        _t(spark, sf_dir, "documents")
+        .where("doc_id % 5 = 0")
+        .select(F.lit("CONTATO").alias("type"),
+                F.expr("'user' || CAST(doc_id AS STRING) || '@ex' || "
+                       "CAST(doc_id % 7 AS STRING) || '.com.br'").alias("value"))
+    )
+    out = apply_missing(d, review)
+    return (
+        out.select("url", F.explode("spans").alias("s"))
+        .select("url", F.col("s.type").alias("type"),
+                F.col("s.value").alias("value"),
+                F.col("s.start").alias("start"), F.col("s.end").alias("end"))
+        .orderBy("url", "start", "value")
+    )
+
+
+@register(
     "literal_occurrence_join",
     oracle="""
     SELECT source,
@@ -825,6 +871,75 @@ def distinct_values_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_values_first_seen",
+    oracle=f"""
+    WITH ev AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(aug, '{sf.EMAIL_PAT}')) AS value,
+             generate_subscripts(regexp_extract_all(aug, '{sf.EMAIL_PAT}'), 1) AS pos
+      FROM {_AUG_FROM}
+    ),
+    v AS (
+      SELECT 'CONTATO' AS label, value, doc_id, pos FROM ev
+      UNION ALL
+      SELECT 'DOC_PESSOAL' AS label, {sf.cpf_candidate_sql()} AS value,
+             doc_id, 1 AS pos
+      FROM documents
+    ),
+    firsts AS (
+      SELECT label, value,
+             MIN(doc_id * 100000 + pos) AS fk
+      FROM v GROUP BY label, value
+    ),
+    ranked AS (
+      SELECT label, value,
+             row_number() OVER (PARTITION BY label ORDER BY fk, value) AS rn
+      FROM firsts
+    )
+    SELECT label, CAST(rn AS BIGINT) AS rn, value
+    FROM ranked WHERE rn <= 10 ORDER BY label, rn
+    """,
+)
+def distinct_values_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct values per label in FIRST-SEEN order (reference A8,
+    pii_value_review.py:174-224: values appended on first appearance in
+    dataset row order). The distributed analogue of "file order" is
+    (doc_id, within-doc position): each (label, value) takes the MIN of that
+    composite key, then a per-label rank yields the first 10. At scale the
+    rank would be pruned two-phase like evaljob.error_bucket_samples; the
+    groupBy shuffles (label, value, fk) only — never text."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = _aug_docs(spark, sf_dir)
+    ev = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("aug"), F.lit(sf.EMAIL_PAT), F.lit(0))
+        ).alias("pos0", "value"),
+    ).select(
+        F.lit("CONTATO").alias("label"), "value", "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+    )
+    cpfs = _t(spark, sf_dir, "documents").select(
+        F.lit("DOC_PESSOAL").alias("label"),
+        F.expr(sf.cpf_candidate_sql()).alias("value"),
+        "doc_id", F.lit(1).alias("pos"),
+    )
+    firsts = (
+        ev.unionByName(cpfs)
+        .groupBy("label", "value")
+        .agg(F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("fk"))
+    )
+    w = Window.partitionBy("label").orderBy("fk", "value")
+    return (
+        firsts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("label", F.col("rn").cast("long").alias("rn"), "value")
+        .orderBy("label", "rn")
+    )
+
+
+@register(
     "array_set_ops",
     oracle=f"""
     SELECT lang,
@@ -890,7 +1005,10 @@ def token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("long")
     def ntok(s: pd.Series) -> pd.Series:
         tok = WordTokenizer()  # once per batch-iterator worker
-        return s.map(lambda t: len(tok.encode(t or "")))
+        # list comprehension over the raw ndarray (extract.py idiom) — no
+        # per-element pandas dispatch in the hot loop
+        return pd.Series([len(tok.encode(t or "")) for t in s.to_numpy()],
+                         dtype="int64")
 
     d = _t(spark, sf_dir, "documents")
     return (
@@ -914,7 +1032,7 @@ def chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stats(s: pd.Series) -> pd.DataFrame:
         tok = WordTokenizer()
         ncs, covs = [], []
-        for t in s:
+        for t in s.to_numpy():  # raw ndarray iteration (extract.py idiom)
             t = t or ""
             chunks = build_chunks(t, tok, max_length=64, stride=16,
                                   boundary_backoff=8)

@@ -33,7 +33,7 @@ from pii_spark.extract import extract_pages, lineage_from_results
 
 def committed_urls(spark: SparkSession, results_dir: str) -> DataFrame | None:
     """Column-pruned projection of already-committed urls, or None if the
-    target does not exist yet (first run)."""
+    target holds no data yet (first run)."""
     if not _exists(results_dir):
         return None
     return spark.read.parquet(results_dir).select("url")
@@ -49,25 +49,61 @@ def run_incremental(
     num_partitions: int | None = None,
 ) -> dict:
     """One resumable increment: anti-join committed urls, extract the
-    remainder, append results + lineage. Returns counters for the run."""
+    remainder, commit results, derive lineage FROM the committed files.
+    Returns counters for the run.
+
+    Commit protocol (crash-safe, never double-counts):
+    1. Results land first, hive-partitioned by run_id. The write is the ONLY
+       action that executes the extraction UDF — exactly one pass, no
+       persist() needed and no re-extraction under cache eviction.
+    2. Lineage derives from the COMMITTED parquet, partition-pruned to this
+       run_id, so a lineage row can never describe a document that failed to
+       land.
+    A crash between (1) and (2) leaves a run with results but no lineage;
+    the next increment's anti-join still skips its urls (no re-extraction),
+    and ``backfill_lineage`` repairs the gap from the committed files.
+    """
     done = committed_urls(spark, results_dir)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
 
     results = extract_pages(todo, cfg, num_partitions=num_partitions)
-    results = results.persist()
-    try:
-        n = results.count()
-        if n:
-            # Lineage FIRST: its plan contains the anti-join against the
-            # committed results dir, so it must run before this increment's
-            # rows land there (the cache makes this cheap; the ordering makes
-            # it correct even under cache eviction / executor loss).
-            lineage = lineage_from_results(results, run_id)
-            lineage.write.mode("append").parquet(lineage_dir)
-            results.drop("partition_id").write.mode("append").parquet(results_dir)
-        return {"run_id": run_id, "docs": n}
-    finally:
-        results.unpersist()
+    (
+        results.withColumn("run_id", F.lit(run_id))
+        .write.mode("append").partitionBy("run_id").parquet(results_dir)
+    )
+    if not _exists(results_dir):  # first run over an empty input
+        return {"run_id": run_id, "docs": 0}
+    committed = spark.read.parquet(results_dir).where(
+        F.col("run_id").cast("string") == run_id)
+    n = committed.count()
+    if n:
+        lineage = lineage_from_results(committed, run_id)
+        lineage.write.mode("append").parquet(lineage_dir)
+    return {"run_id": run_id, "docs": n}
+
+
+def backfill_lineage(
+    spark: SparkSession, results_dir: str, lineage_dir: str
+) -> list[str]:
+    """Repair lineage for runs whose results committed but whose lineage
+    write was lost (crash between the two writes in ``run_incremental``).
+    Recomputes the missing runs' lineage from the committed results
+    partitions — the committed files are the source of truth, so the
+    backfilled counters are exactly what the crashed run would have written.
+    Returns the repaired run ids (the run-id list is tiny — one per job)."""
+    if not _exists(results_dir):
+        return []
+    res = spark.read.parquet(results_dir).withColumn(
+        "run_id", F.col("run_id").cast("string"))
+    runs = res.select("run_id").distinct()
+    if _exists(lineage_dir):
+        have = spark.read.parquet(lineage_dir).select("run_id").distinct()
+        runs = runs.join(have, "run_id", "left_anti")
+    missing = [r["run_id"] for r in runs.collect()]
+    for rid in sorted(missing):
+        lineage_from_results(res.where(F.col("run_id") == rid), rid) \
+            .write.mode("append").parquet(lineage_dir)
+    return sorted(missing)
 
 
 def lineage_summary(spark: SparkSession, lineage_dir: str) -> DataFrame:
@@ -89,6 +125,12 @@ def lineage_summary(spark: SparkSession, lineage_dir: str) -> DataFrame:
 
 
 def _exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
-    )
+    """True iff the directory holds at least one parquet data file —
+    recursive, because results are hive-partitioned by run_id (a bare
+    _SUCCESS marker from an all-empty write is NOT data)."""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

@@ -19,6 +19,19 @@ from pyspark.sql import functions as F
 from pii_core.labels import PII_TYPES
 
 
+def _span_cmp(a: F.Column, b: F.Column) -> F.Column:
+    """Deterministic span ordering (start, end, type) — reference O1/O2."""
+    return (
+        F.when(a.start < b.start, -1)
+        .when(a.start > b.start, 1)
+        .when(a.end < b.end, -1)
+        .when(a.end > b.end, 1)
+        .when(a.type < b.type, -1)
+        .when(a.type > b.type, 1)
+        .otherwise(0)
+    )
+
+
 def apply_review(
     results: DataFrame, review: DataFrame, mode: str = "semi"
 ) -> DataFrame:
@@ -50,13 +63,7 @@ def apply_review(
             F.first("extracted_text").alias("extracted_text"),
             F.array_sort(
                 F.collect_list("s"),  # collect_list drops nulls
-                lambda a, b: F.when(a.start < b.start, -1)
-                .when(a.start > b.start, 1)
-                .when(a.end < b.end, -1)
-                .when(a.end > b.end, 1)
-                .when(a.type < b.type, -1)
-                .when(a.type > b.type, 1)
-                .otherwise(0),
+                _span_cmp,
             ).alias("spans"),
         )
         .withColumn("n_spans", F.size("spans"))
@@ -85,3 +92,76 @@ def add_missing(results: DataFrame, review: DataFrame) -> DataFrame:
         .select("url", "type", "value")
     )
     return candidates.join(have, ["url", "type", "value"], "left_anti")
+
+
+# Greedy non-overlapping literal occurrences of `value` in `txt`, 0-based
+# starts — exact pii_core.spans.literal_occurrences (find/advance) semantics,
+# expressed as filter+aggregate HOFs so the scan stays JVM-side (no Python
+# in the path). The fold keeps a match only when it starts at or after the
+# previous kept match's end, which is what makes self-overlapping values
+# ('aa' in 'aaa') match the core's greedy behavior, not all positions.
+_GREEDY_OCC_SQL = """
+CASE WHEN length(value) > 0 AND length(txt) >= length(value) THEN
+  aggregate(
+    filter(sequence(0, length(txt) - length(value)),
+           i -> substring(txt, i + 1, length(value)) = value),
+    named_struct('acc', CAST(array() AS array<int>), 'last_end', -1),
+    (st, p) -> IF(p >= st.last_end,
+                  named_struct('acc', concat(st.acc, array(p)),
+                               'last_end', p + length(value)),
+                  st),
+    st -> st.acc)
+ELSE CAST(array() AS array<int>) END
+"""
+
+
+def apply_missing(results: DataFrame, review: DataFrame) -> DataFrame:
+    """Full reference ``--add-missing`` (pii_value_review.py:307-325) as a
+    corrected-results frame: each reviewed (type, value) literally present in
+    extracted_text but absent from spans is injected as a span per
+    non-overlapping literal occurrence (greedy left-to-right —
+    pii_core.spans.literal_occurrences semantics), conf=1.0 and n_tokens=0
+    marking review-injected; spans re-sorted deterministically and
+    n_spans / should_be_public recomputed.
+
+    The reference appends one offset-less entity per (label, value); this
+    engine's span struct carries offsets, so each occurrence becomes a span.
+    Scale shape: the review set is tiny → broadcast; the occurrence scan is
+    doc-local JVM HOFs; one narrow groupBy(url) on the (small) candidate set;
+    untouched documents pass through without their spans being rewritten.
+    """
+    cand = add_missing(results, review)
+    occ = (
+        cand.join(results.select("url", F.col("extracted_text").alias("txt")),
+                  "url")
+        .withColumn("occ", F.expr(_GREEDY_OCC_SQL))
+        .select("url", "type", "value", F.explode("occ").alias("start"))
+    )
+    new_spans = occ.groupBy("url").agg(
+        F.collect_list(
+            F.struct(
+                F.col("type").alias("type"),
+                F.col("start").cast("int").alias("start"),
+                (F.col("start") + F.length("value")).cast("int").alias("end"),
+                F.col("value").alias("value"),
+                F.lit(1.0).alias("conf"),
+                F.lit(0).cast("int").alias("n_tokens"),
+            )
+        ).alias("new_spans")
+    )
+    merged = (
+        results.join(new_spans, "url", "left")
+        .withColumn(
+            "spans",
+            F.when(F.col("new_spans").isNull(), F.col("spans")).otherwise(
+                F.array_sort(F.concat("spans", "new_spans"), _span_cmp)
+            ),
+        )
+        .drop("new_spans")
+        .withColumn("n_spans", F.size("spans"))
+        .withColumn(
+            "should_be_public",
+            ~F.exists("spans", lambda s: s.type.isin(list(PII_TYPES))),
+        )
+    )
+    return merged

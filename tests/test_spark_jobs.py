@@ -33,6 +33,85 @@ def test_resume_processes_only_new(spark, tmp_path):
     assert out3["docs"] == 0
 
 
+def _fake_extract_factory(counter):
+    """Stand-in for extract_pages: counts driver-side calls and emits
+    NON-DETERMINISTIC doc_bytes, so any code path that re-evaluates the live
+    extraction frame (instead of reading committed files) produces lineage
+    that disagrees with the committed results."""
+    import random
+
+    from pii_spark.schemas import RESULTS_SCHEMA  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    def fake(pages, cfg=None, num_partitions=None, **kw):
+        counter.append(1)
+        ndet = F.udf(lambda: random.randint(1, 1 << 30), "long") \
+            .asNondeterministic()
+        empty_spans = F.expr(
+            "CAST(array() AS array<struct<type:string,start:int,end:int,"
+            "value:string,conf:double,n_tokens:int>>)")
+        return (
+            pages.select("url")
+            .withColumn("extracted_text", F.lit("x"))
+            .withColumn("spans", empty_spans)
+            .withColumn("should_be_public", F.lit(True))
+            .withColumn("n_spans", F.lit(0))
+            .withColumn("doc_bytes", ndet())
+            .withColumn("error", F.lit(None).cast("string"))
+            .withColumn("partition_id", F.lit(0))
+        )
+
+    return fake
+
+
+def test_lineage_derives_from_committed_results(spark, tmp_path, monkeypatch):
+    import pii_spark.resume as resume
+
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    calls: list[int] = []
+    monkeypatch.setattr(resume, "extract_pages", _fake_extract_factory(calls))
+    out = resume.run_incremental(
+        spark, pages_df(spark, 10, seed=1), rdir, ldir, "r1", num_partitions=2)
+    assert out["docs"] == 10
+    # extraction plan built exactly once per increment
+    assert len(calls) == 1
+    committed_bytes = spark.read.parquet(rdir).agg(
+        F.sum("doc_bytes")).first()[0]
+    lineage_bytes = spark.read.parquet(ldir).agg(F.sum("bytes")).first()[0]
+    # would mismatch if lineage re-evaluated the (non-deterministic) live
+    # frame instead of reading the committed files
+    assert lineage_bytes == committed_bytes
+
+
+def test_backfill_lineage_repairs_crashed_run(spark, tmp_path, monkeypatch):
+    import pii_spark.resume as resume
+    from pii_spark.resume import backfill_lineage
+
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    run_incremental(spark, pages_df(spark, 8, seed=3), rdir, ldir, "r1",
+                    num_partitions=2)
+
+    # simulate a crash between the results write and the lineage write:
+    # commit results for r2 directly, without lineage
+    monkeypatch.setattr(resume, "lineage_from_results",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("crash before lineage")))
+    with pytest.raises(RuntimeError):
+        run_incremental(spark, pages_df(spark, 12, seed=3), rdir, ldir, "r2",
+                        num_partitions=2)
+    monkeypatch.undo()
+
+    assert spark.read.parquet(rdir).count() == 12  # r2 results DID land
+    assert backfill_lineage(spark, rdir, ldir) == ["r2"]
+    summ = {r["run_id"]: r for r in lineage_summary(spark, ldir).collect()}
+    assert summ["r1"]["docs"] == 8 and summ["r2"]["docs"] == 4
+    # retry of r2's input is a no-op — committed urls are never re-extracted
+    out = run_incremental(spark, pages_df(spark, 12, seed=3), rdir, ldir,
+                          "r2_retry", num_partitions=2)
+    assert out["docs"] == 0
+    assert backfill_lineage(spark, rdir, ldir) == []
+
+
 @pytest.fixture()
 def tiny_results(spark):
     from pii_spark.extract import extract_pages
@@ -68,6 +147,60 @@ def test_review_add_missing(spark, tiny_results):
     miss = add_missing(tiny_results, review)
     got = miss.where(F.col("url") == row["url"]).collect()
     assert len(got) == 1 and got[0]["value"] == word
+
+
+def test_apply_missing_injects_offsets_and_recomputes_decision(spark):
+    from pii_spark.review import apply_missing
+
+    schema = ("url string, extracted_text string, spans array<struct<"
+              "type:string,start:int,end:int,value:string,conf:double,"
+              "n_tokens:int>>, should_be_public boolean, n_spans int")
+    res = spark.createDataFrame(
+        [
+            # value occurs twice, not in spans -> two injected spans
+            ("a", "cpf 111 aqui e cpf 111 de novo", [], True, 0),
+            # value already in spans -> untouched
+            ("b", "cpf 111", [{"type": "DOC_PESSOAL", "start": 4, "end": 7,
+                               "value": "111", "conf": 0.9, "n_tokens": 1}],
+             False, 1),
+            # value absent from text -> untouched, stays public
+            ("c", "nada a ver", [], True, 0),
+        ],
+        schema)
+    review = spark.createDataFrame([("DOC_PESSOAL", "111")],
+                                   "type string, value string")
+    out = {r["url"]: r for r in apply_missing(res, review).collect()}
+    a = out["a"]
+    assert [(s["start"], s["end"], s["value"], s["n_tokens"])
+            for s in a["spans"]] == [(4, 7, "111", 0), (19, 22, "111", 0)]
+    assert a["n_spans"] == 2 and a["should_be_public"] is False
+    b = out["b"]
+    assert b["n_spans"] == 1 and b["spans"][0]["conf"] == 0.9
+    c = out["c"]
+    assert c["n_spans"] == 0 and c["should_be_public"] is True
+
+
+def test_greedy_occurrence_hof_matches_core(spark):
+    # The JVM HOF in review.apply_missing must match
+    # pii_core.spans.literal_occurrences exactly, including self-overlapping
+    # values where all-positions and greedy diverge.
+    from pii_core.spans import literal_occurrences
+    from pii_spark.review import _GREEDY_OCC_SQL
+
+    cases = [
+        ("aaa", "aa"),        # greedy: [(0,2)], NOT [(0,2),(1,3)]
+        ("ababab", "abab"),   # greedy: [(0,4)]
+        ("xyxyxy", "xy"),
+        ("", "a"),
+        ("abc", "zzz"),
+        ("abcabc", "abc"),
+    ]
+    df = spark.createDataFrame(cases, "txt string, value string")
+    got = df.select("txt", "value",
+                    F.expr(_GREEDY_OCC_SQL).alias("occ")).collect()
+    for r in got:
+        want = [s for s, _ in literal_occurrences(r["txt"], r["value"])]
+        assert r["occ"] == want, (r["txt"], r["value"])
 
 
 def test_span_metrics_known_confusion(spark):
