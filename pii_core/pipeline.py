@@ -61,9 +61,32 @@ class ExtractConfig:
     use_detectors: bool = True
     use_ner: bool = True
     tokenizer_piece_len: int = 8
+    # Optional real-model swap-in (requires torch + transformers): a HF
+    # token-classification checkpoint path/name. When set, make_emitter()
+    # loads pii_core.ner_transformer.TransformerEmitter and the matching
+    # fast-tokenizer adapter; when None (sandbox default) the hermetic
+    # StubEmitter + WordTokenizer path runs, byte-identical as before.
+    model_path: str | None = None
+    model_device: str = "cpu"
 
     def make_tokenizer(self) -> WordTokenizer:
         return WordTokenizer(piece_len=self.tokenizer_piece_len)
+
+    def make_emitter_and_tokenizer(self):
+        """The per-executor "model load" slot: returns (emitter, tokenizer)
+        constructed once per partition iterator. Real checkpoint when
+        model_path is set (reference model load: infer_pii.py:445-470),
+        else the deterministic stub."""
+        if self.model_path is not None:
+            from pii_core.ner_transformer import (  # noqa: PLC0415
+                load_transformer_emitter,
+            )
+
+            emitter = load_transformer_emitter(
+                self.model_path, device=self.model_device,
+                max_length=self.max_length)
+            return emitter, emitter.tokenizer_adapter
+        return StubEmitter(), self.make_tokenizer()
 
 
 _PII_SET = frozenset(PII_TYPES)

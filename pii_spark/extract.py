@@ -23,9 +23,10 @@ byte-identical at ANY partition count (tests/test_spark_extract.py asserts
 Executor lifecycle per the north rule: the tokenizer + NER emitter are
 constructed ONCE per partition iterator (the "model load"), then applied over
 Arrow record batches — no per-row Python at the DataFrame level; inner loops
-are compiled regex + NumPy. A real transformer emitter drops in by replacing
-``StubEmitter`` with a weights-loading callable of the same signature
-(reference forward pass: /root/reference/infer_pii.py:180-201).
+are compiled regex + NumPy. Setting ``ExtractConfig.model_path`` swaps in the
+real ``pii_core.ner_transformer.TransformerEmitter`` (HF checkpoint + fast
+tokenizer, optional torch dep; reference forward pass:
+/root/reference/infer_pii.py:180-201) — same signature, same load-once slot.
 
 Reference lifecycle being parallelized: the sequential per-doc loop at
 /root/reference/infer_pii.py:632-676 (SURVEY.md §3 E2) — docs are
@@ -42,7 +43,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pii_core.ner_stub import StubEmitter
 from pii_core.pipeline import ExtractConfig, extract_page
 from pii_spark.schemas import RESULTS_SCHEMA
 
@@ -58,9 +58,10 @@ def _extract_batches(cfg: ExtractConfig):
     closure — cfg is a small frozen dataclass)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # --- load-once-per-partition (the "model load" slot) ---
-        tokenizer = cfg.make_tokenizer()
-        emitter = StubEmitter()
+        # --- load-once-per-partition (the "model load" slot): StubEmitter +
+        # WordTokenizer by default; a real TransformerEmitter + HF fast
+        # tokenizer when cfg.model_path is set (optional torch dep) ---
+        emitter, tokenizer = cfg.make_emitter_and_tokenizer()
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
 
