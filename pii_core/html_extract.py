@@ -159,6 +159,19 @@ def html_to_text(html: bytes | str | None) -> str:
             return ""
     if not html.strip():
         return ""
+    # Tag-free fast path: with no '<' (no markup) and no '&' (no entities to
+    # decode) the parser would emit the whole input as ONE body block, so the
+    # keep rule reduces to the >=25-chars check on the normalized text (link
+    # ratio is 0). Byte-identical to the parser path — pinned by a property
+    # test — at ~20x the throughput for plain-text payloads.
+    if "<" not in html and "&" not in html:
+        txt = _WS_RUN.sub(" ", html).strip()
+        return txt if len(txt) >= 25 else ""
+    return _html_to_text_parsed(html)
+
+
+def _html_to_text_parsed(html: str) -> str:
+    """The full HTMLParser path (the frozen spec's step 1-6)."""
     parser = _ContentParser()
     try:
         parser.feed(html)

@@ -30,6 +30,18 @@ def test_html_to_text_bytes_never_raises(b):
     assert isinstance(html_to_text(b), str)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400).filter(lambda s: "<" not in s and "&" not in s))
+def test_html_tag_free_fast_path_matches_parser(s):
+    # The fast path must be byte-identical to the full HTMLParser path for
+    # every tag-free, entity-free input (the only inputs it handles).
+    from pii_core.html_extract import _html_to_text_parsed
+
+    if not s.strip():
+        return
+    assert html_to_text(s) == _html_to_text_parsed(s)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.text(max_size=300))
 def test_extract_document_never_raises(s):
