@@ -114,9 +114,19 @@ def stub_emissions(chunk_text: str, offsets: list[tuple[int, int]]) -> np.ndarra
 
 class StubEmitter:
     """Callable emitter with the executor-side model lifecycle contract:
-    construct once per worker, call per chunk."""
+    construct once per worker, call per chunk (or per chunk batch)."""
 
     labels = _LABELS
 
     def __call__(self, chunk_text: str, offsets: list[tuple[int, int]]) -> np.ndarray:
         return stub_emissions(chunk_text, offsets)
+
+    def emit_batch(
+        self,
+        texts: list[str],
+        offsets_list: list[list[tuple[int, int]]],
+    ) -> list[np.ndarray]:
+        """Batched contract (reference batched forward,
+        infer_pii.py:180-201): per-chunk emissions, identical to calling the
+        emitter once per chunk — the stub has no batch-level state."""
+        return [stub_emissions(t, o) for t, o in zip(texts, offsets_list)]

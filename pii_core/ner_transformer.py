@@ -130,23 +130,41 @@ class TransformerEmitter:
 
     def __call__(self, chunk_text: str,
                  offsets: list[tuple[int, int]]) -> np.ndarray:
+        return self.emit_batch([chunk_text], [offsets])[0]
+
+    def emit_batch(
+        self,
+        texts: list[str],
+        offsets_list: list[list[tuple[int, int]]],
+    ) -> list[np.ndarray]:
+        """One padded forward pass over a chunk batch (the reference's
+        batched inference, infer_pii.py:180-201: padding=True, offset_mapping
+        per row, attention mask distinguishes padding). Each row is projected
+        onto its content tokens via ``align_rows``."""
         enc = self._tok(
-            chunk_text,
+            list(texts),
             add_special_tokens=True,
             truncation=True,
             max_length=self._max_length,
+            padding=True,
             return_offsets_mapping=True,
             return_tensors="pt",
         )
-        enc_offsets = [(int(a), int(b)) for a, b in enc.pop("offset_mapping")[0].tolist()]
+        offs_batch = enc.pop("offset_mapping").tolist()
         attn = enc.get("attention_mask")
-        attn_list = [int(x) for x in attn[0].tolist()] if attn is not None else None
+        attn_batch = attn.tolist() if attn is not None else None
         enc = {k: v.to(self._device) for k, v in enc.items()}
         with self._torch.no_grad():
-            logits = self._model(**enc).logits[0]  # (T', C)
+            logits = self._model(**enc).logits  # (B, T', C)
         em = logits.detach().to("cpu").numpy().astype(np.float32, copy=False)
-        rows = align_rows(offsets, enc_offsets, attn_list)
-        return em[rows]
+        out = []
+        for bi, offsets in enumerate(offsets_list):
+            enc_offsets = [(int(a), int(b)) for a, b in offs_batch[bi]]
+            attn_list = ([int(x) for x in attn_batch[bi]]
+                         if attn_batch is not None else None)
+            rows = align_rows(offsets, enc_offsets, attn_list)
+            out.append(em[bi][rows])
+        return out
 
 
 def load_transformer_emitter(model_name_or_path: str, device: str = "cpu",

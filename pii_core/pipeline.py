@@ -61,6 +61,9 @@ class ExtractConfig:
     use_detectors: bool = True
     use_ner: bool = True
     tokenizer_piece_len: int = 8
+    # chunks per NER forward pass (reference --batch_size default 8,
+    # infer_pii.py:372-375); honored when the emitter provides emit_batch
+    batch_size: int = 8
     # Optional real-model swap-in (requires torch + transformers): a HF
     # token-classification checkpoint path/name. When set, make_emitter()
     # loads pii_core.ner_transformer.TransformerEmitter and the matching
@@ -92,6 +95,33 @@ class ExtractConfig:
 _PII_SET = frozenset(PII_TYPES)
 
 _SINGLE_CHUNK_FAST = True
+
+
+def _chunk_emissions(chunks, tokenizer, emitter: Emitter, batch_size: int):
+    """Yield (chunk, offsets, (T,C) emissions) in chunk order, micro-batching
+    chunks through ``emitter.emit_batch`` when the emitter provides it — the
+    reference's batched forward pass (infer_pii.py:180-201, chunks of one
+    document in groups of --batch_size). Emissions per chunk are identical
+    either way; batching only changes how many chunks share a forward call,
+    so downstream fp32 accumulation order (chunk order) is unchanged."""
+    emit_batch = getattr(emitter, "emit_batch", None)
+    if emit_batch is None:
+        for ch in chunks:
+            offs = tokenizer.encode(ch.text)
+            if offs:
+                yield ch, offs, emitter(ch.text, offs)
+        return
+    step = max(1, int(batch_size))
+    for i in range(0, len(chunks), step):
+        group = chunks[i:i + step]
+        keep = [(ch, offs) for ch in group
+                if (offs := tokenizer.encode(ch.text))]
+        if not keep:
+            continue
+        ems = emit_batch([ch.text for ch, _ in keep],
+                         [offs for _, offs in keep])
+        yield from ((ch, offs, em)
+                    for (ch, offs), em in zip(keep, ems))
 
 
 def _ner_spans(
@@ -147,11 +177,8 @@ def _ner_spans(
         # so overlapping chunks average out (reference infer_pii.py:209-235).
         acc_sum: dict[tuple[int, int], np.ndarray] = {}
         acc_cnt: dict[tuple[int, int], int] = {}
-        for ch in chunks:
-            offs = tokenizer.encode(ch.text)
-            if not offs:
-                continue
-            em = emitter(ch.text, offs)
+        for ch, offs, em in _chunk_emissions(chunks, tokenizer, emitter,
+                                             cfg.batch_size):
             for ti, (a, b) in enumerate(offs):
                 ga, gb = a + ch.char_start, b + ch.char_start
                 if ga >= gb:
@@ -161,14 +188,17 @@ def _ner_spans(
                     acc_sum[key] += em[ti]
                     acc_cnt[key] += 1
                 else:
-                    acc_sum[key] = em[ti].astype(np.float32).copy()
+                    acc_sum[key] = np.array(em[ti], dtype=np.float32)
                     acc_cnt[key] = 1
         if not acc_sum:
             return []
         keys = sorted(acc_sum)
-        em_global = np.stack(
-            [acc_sum[k] / np.float32(acc_cnt[k]) for k in keys]
-        ).astype(np.float32, copy=False)
+        em_global = np.stack([acc_sum[k] for k in keys])
+        cnts = np.fromiter((acc_cnt[k] for k in keys), dtype=np.float32,
+                           count=len(keys))
+        # one vectorized fp32 divide — elementwise-identical to dividing each
+        # row by its count (same operands, same IEEE op)
+        em_global = (em_global / cnts[:, None]).astype(np.float32, copy=False)
         if cfg.decode == "bio_viterbi":
             pred = viterbi_bio(em_global, labels_list, o_id)
         else:
@@ -185,11 +215,8 @@ def _ner_spans(
     # aggregate == "none": per-chunk decode, shift to global offsets, merge later
     # (reference infer_pii.py:237-275).
     out: list[Span] = []
-    for ch in chunks:
-        offs = tokenizer.encode(ch.text)
-        if not offs:
-            continue
-        em = emitter(ch.text, offs)
+    for ch, offs, em in _chunk_emissions(chunks, tokenizer, emitter,
+                                         cfg.batch_size):
         if cfg.decode == "bio_viterbi":
             pred = viterbi_bio(em, labels_list, o_id)
         else:

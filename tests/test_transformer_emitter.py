@@ -163,6 +163,69 @@ def test_roundtrip_through_chunker_and_pipeline():
     assert not public
 
 
+class _SpyBatchEmitter:
+    """Wraps an emitter, recording emit_batch group sizes."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.labels = inner.labels
+        self.batch_sizes: list[int] = []
+
+    def __call__(self, text, offsets):
+        return self._inner(text, offsets)
+
+    def emit_batch(self, texts, offsets_list):
+        self.batch_sizes.append(len(texts))
+        return [self._inner(t, o) for t, o in zip(texts, offsets_list)]
+
+
+@pytest.mark.parametrize("aggregate", ["mean_logits", "none"])
+def test_batched_emission_identical_to_per_chunk(aggregate):
+    """Micro-batching chunks through emit_batch (reference --batch_size)
+    must be byte-identical to per-chunk calls, and must respect the
+    configured group size."""
+    from pii_core.ner_stub import StubEmitter
+    from pii_core.tokenizer import WordTokenizer
+
+    text = ("Sr. Carlos Pereira mora na Rua das Flores, 123. " * 20)
+    tok = WordTokenizer()
+    base = dict(max_length=48, stride=8, boundary_backoff=8,
+                aggregate=aggregate, use_detectors=False)
+
+    class NoBatch:
+        labels = StubEmitter.labels
+
+        def __call__(self, t, o):
+            return StubEmitter()(t, o)
+
+    unbatched = extract_document(text, ExtractConfig(**base), NoBatch(), tok)
+    spy = _SpyBatchEmitter(StubEmitter())
+    batched = extract_document(
+        text, ExtractConfig(**base, batch_size=3), spy, tok)
+    assert batched == unbatched
+    assert spy.batch_sizes and max(spy.batch_sizes) <= 3
+    assert sum(spy.batch_sizes) > 3  # multiple groups actually formed
+
+
+def test_fake_transformer_padded_batch_alignment():
+    """Padded batch: rows of different lengths share one forward pass; each
+    row's logits project back onto its own offsets."""
+    tok = FakeFastTokenizer()
+    em = FakeTransformerEmitter(tok, max_length=64)
+
+    def emit_batch(texts, offsets_list):
+        return [em(t, o) for t, o in zip(texts, offsets_list)]
+
+    em.emit_batch = emit_batch
+    short, long = "Ana Lima", "o requerente compareceu com Bruno Castro hoje"
+    adapter = HFTokenizerAdapter(tok)
+    o1, o2 = adapter.encode(short), adapter.encode(long)
+    r1, r2 = em.emit_batch([short, long], [o1, o2])
+    assert r1.shape == (len(o1), 3) and r2.shape == (len(o2), 3)
+    np.testing.assert_array_equal(r1, em(short, o1))
+    np.testing.assert_array_equal(r2, em(long, o2))
+
+
 def test_default_config_keeps_stub_path():
     from pii_core.ner_stub import StubEmitter
     from pii_core.tokenizer import WordTokenizer
