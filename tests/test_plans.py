@@ -47,6 +47,54 @@ def test_review_semi_join_broadcast(spark, sfd):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_lsh_jaccard_no_cartesian_and_pruned_scan(spark, sfd):
+    """The composed dedup plan must join on keys (band key, doc_id,
+    shingle) — never a cartesian/nested-loop pair enumeration — and read
+    only (doc_id, text) from the documents scan."""
+    plan = _plan(QUERIES["dedup_lsh_jaccard"](spark, sfd))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scan = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan and "source" not in scan
+
+
+def test_apply_missing_broadcasts_review_and_keeps_occ_jvm_side(spark):
+    """The review set is tiny → its join must broadcast; the greedy
+    occurrence scan must be JVM expressions (no Python UDF nodes)."""
+    from pii_spark.review import apply_missing
+    from pii_spark.extract import extract_pages
+    from pii_spark.synth import pages_df
+
+    results = extract_pages(pages_df(spark, 20, seed=5), num_partitions=2)
+    review = spark.createDataFrame([("CONTATO", "x@y.org")],
+                                   "type string, value string")
+    plan = _plan(apply_missing(results, review))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only Python in the plan is the extraction UDF itself — the greedy
+    # occurrence scan must not add row-level Python eval nodes
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_error_bucket_two_phase_prune(spark):
+    """The per-bucket cap must prune per input partition BEFORE the global
+    per-bucket window: two Window nodes, with a partition-local filter in
+    between (never a full sort of the tp/tn bulk in one partition)."""
+    from pii_spark.evaljob import error_bucket_samples
+
+    schema = ("url string, extracted_text string, spans array<struct<"
+              "type:string,start:int,end:int,value:string,conf:double,"
+              "n_tokens:int>>")
+    gschema = ("url string, spans array<struct<type:string,start:int,end:int,"
+               "value:string,conf:double,n_tokens:int>>")
+    pred = spark.createDataFrame([("a", "t", [])], schema)
+    gold = spark.createDataFrame([("a", [])], gschema)
+    plan = _plan(error_bucket_samples(pred, gold))
+    assert len(re.findall(r"\bWindow \[", plan)) == 2
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+
+
 def test_extraction_single_shuffle(spark, sfd):
     from pii_spark.extract import extract_pages
     from pii_spark.synth import pages_df
