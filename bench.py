@@ -33,6 +33,7 @@ HEADLINE_QUERIES = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_jaccard",
     "knn_bruteforce",
     "detector_counts",
     "should_be_public",

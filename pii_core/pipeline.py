@@ -38,6 +38,7 @@ from pii_core.decoding import viterbi_bio
 from pii_core.detectors import detect_spans
 from pii_core.html_extract import html_to_text
 from pii_core.labels import PII_TYPES, label_maps
+from pii_core.pdf_extract import looks_like_pdf, pdf_to_text
 from pii_core.ner_stub import StubEmitter
 from pii_core.spans import Span, filter_spans, merge_and_resolve, spans_from_bio
 from pii_core.tokenizer import WordTokenizer
@@ -265,12 +266,21 @@ def extract_page(
     emitter: Emitter | None = None,
     tokenizer: WordTokenizer | None = None,
 ) -> dict:
-    """Full per-page record: html (preferred) or pre-extracted text → result.
+    """Full per-page record: payload (preferred) or pre-extracted text →
+    result. The payload is sniffed: ``%PDF-`` magic routes to the PDF layout
+    parser, anything else to the HTML main-content extractor (the north
+    rule's "HTML boilerplate strip, PDF/layout parse" stage).
 
     Output shape mirrors the reference JSONL record (infer_pii.py:553-569):
     value = extracted_text[start:end], conf rounded to 2 decimals.
     """
-    extracted = html_to_text(html) if html else (text or "")
+    if html:
+        if looks_like_pdf(html):
+            extracted = pdf_to_text(html)
+        else:
+            extracted = html_to_text(html)
+    else:
+        extracted = text or ""
     spans, public = extract_document(extracted, cfg, emitter, tokenizer)
     return {
         "url": url,

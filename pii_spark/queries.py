@@ -657,6 +657,22 @@ def pii_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+@register("pii_extract_pdf_pages")  # no oracle: PDF layout parse is not SQL
+def pii_extract_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over PDF payloads (north rule: "PDF/layout parse"): the
+    SAME pipeline, payloads sniffed by %PDF- magic and routed through
+    pii_core.pdf_extract (frozen-spec stdlib parser: FlateDecode + Tj/TJ
+    text operators). Byte-parity vs pii_core pinned by
+    tests/test_spark_extract.py::test_pdf_pages_byte_identical_parity."""
+    from pii_spark.extract import extract_pages
+    from pii_spark.synth import pdf_pages_df
+
+    res = extract_pages(pdf_pages_df(spark, 80, seed=7))
+    return res.select(
+        "url", "n_spans", "should_be_public", "doc_bytes"
+    ).orderBy("url")
+
+
 # late-bound registries from ops modules (dedup / similarity / text stats /
 # multimodal) — imported last so this module stays the single registry.
 def _load_ops() -> None:

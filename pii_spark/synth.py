@@ -172,6 +172,60 @@ def gen_page(i: int, seed: int = 42, pii_rate: float = 0.45,
     }
 
 
+def _page_pdf(paras: list[str], title: str) -> bytes:
+    """Minimal PDF 1.4: one FlateDecode content stream, title + one Tj line
+    per paragraph (the pdf_extract frozen subset)."""
+    import zlib  # noqa: PLC0415
+
+    def esc(s: str) -> str:
+        return (s.replace("\\", r"\\").replace("(", r"\(")
+                .replace(")", r"\)"))
+
+    ops = [f"({esc(title)}) Tj"]
+    ops += [f"T* ({esc(p)}) Tj" for p in paras]
+    content = ("BT /F1 12 Tf " + " ".join(ops) + " ET").encode(
+        "latin-1", errors="replace")
+    body = zlib.compress(content)
+    return (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + body
+            + b"\nendstream\nendobj\ntrailer\n<< >>\n%%EOF\n")
+
+
+def gen_pdf_page(i: int, seed: int = 42, pii_rate: float = 0.45) -> dict:
+    """PDF-payload record i — pure function of (seed, i), same row schema as
+    gen_page (the payload column carries pdf bytes; extract_page sniffs the
+    %PDF- magic)."""
+    rng = random.Random(((seed << 24) ^ i) + 0x9E3779B9)
+    title = _plain_sentence(rng, 4).rstrip(".")
+    paras = _paragraphs(rng, rng.randrange(1, 8), pii_rate)
+    if i % 97 == 7:
+        paras = []  # empty-content pdf
+    ts = _EPOCH + _dt.timedelta(seconds=(i * 53) % 31_536_000)
+    return {
+        "url": f"https://site-{i % 97:02d}.example.gov.br/pdf/{seed}/{i}",
+        "warc_ts": ts,
+        "html": _page_pdf(paras, title),
+        "text": None,
+        "lang": _LANGS[i % len(_LANGS)],
+    }
+
+
+def pdf_pages_df(spark, n: int, seed: int = 42,
+                 num_partitions: int | None = None):
+    """Distributed deterministic PDF corpus (same contract as pages_df)."""
+    from pii_spark.schemas import PAGES_SCHEMA
+
+    num_partitions = num_partitions or max(
+        2, spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions)
+
+    def as_row(i: int):
+        r = gen_pdf_page(i, seed=seed)
+        return (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+
+    return spark.createDataFrame(rdd.map(as_row), PAGES_SCHEMA)
+
+
 def gen_pages(n: int, seed: int = 42, pii_rate: float = 0.45,
               skew: bool = True) -> Iterator[dict]:
     for i in range(n):

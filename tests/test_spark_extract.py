@@ -43,6 +43,28 @@ def test_byte_identical_parity_vs_pii_core(results):
         assert got["doc_bytes"] == len(expect["extracted_text"].encode("utf-8"))
 
 
+def test_pdf_pages_byte_identical_parity(spark):
+    """PDF payloads flow through the same pipeline (sniffed by %PDF- magic)
+    with the same per-url byte-parity invariant."""
+    from pii_spark.synth import gen_pdf_page, pdf_pages_df
+
+    n = 40
+    got = {r["url"]: r.asDict(recursive=True)
+           for r in extract_pages(pdf_pages_df(spark, n, seed=77),
+                                  num_partitions=3).collect()}
+    assert len(got) == n
+    some_spans = some_text = False
+    for i in range(n):
+        rec = gen_pdf_page(i, seed=77)
+        expect = extract_page(rec["url"], rec["html"], rec["text"])
+        g = got[rec["url"]]
+        assert g["extracted_text"] == expect["extracted_text"], rec["url"]
+        assert g["spans"] == expect["spans"], rec["url"]
+        some_spans |= bool(expect["spans"])
+        some_text |= bool(expect["extracted_text"])
+    assert some_spans and some_text  # the corpus exercises real extraction
+
+
 def test_partition_invariance(spark, pages, results):
     """Identical output at a different partition count — repartitioning can
     never change any per-url byte."""
