@@ -53,9 +53,12 @@ RESULTS_WITH_PID = T.StructType(
 DEFAULT_SALT = 0x5CA1AB1E
 
 
-def _extract_batches(cfg: ExtractConfig):
+def _extract_batches(cfg: ExtractConfig, passthrough: tuple[str, ...] = ()):
     """Build the mapInPandas function with cfg captured (broadcast via task
-    closure — cfg is a small frozen dataclass)."""
+    closure — cfg is a small frozen dataclass). ``passthrough`` columns are
+    copied from the input batch to the output rows positionally (row order
+    is preserved), letting callers carry event-time or partition metadata
+    through the UDF without re-joining."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # --- load-once-per-partition (the "model load" slot): StubEmitter +
@@ -95,6 +98,8 @@ def _extract_batches(cfg: ExtractConfig):
                     len(rec["extracted_text"].encode("utf-8")))
                 out["error"].append(err)
             res = pd.DataFrame(out)
+            for col in passthrough:
+                res[col] = pdf[col].to_numpy()
             res["partition_id"] = pid
             yield res
 

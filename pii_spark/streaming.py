@@ -62,6 +62,60 @@ def stream_extract(
     return writer.start()
 
 
+def windowed_pii_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> StreamingQuery:
+    """Event-time windowed aggregation with a watermark (the late-data
+    discipline of a crawl-time rollup): per warc_ts window, documents seen
+    and PII documents. ``append`` output mode emits each window exactly ONCE
+    — when the watermark (max event time − delay) passes the window end — so
+    downstream consumers get immutable rollup rows and Spark's state store
+    stays bounded: closed windows are evicted, and rows arriving later than
+    the watermark are dropped by contract.
+
+    warc_ts rides through the extraction UDF as a passthrough column — no
+    stream-stream re-join against the input needed.
+    """
+    import pyspark.sql.functions as F  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    cfg = ExtractConfig()
+    schema = T.StructType(
+        RESULTS_WITH_PID.fields
+        + [T.StructField("warc_ts", T.TimestampType(), False)]
+    )
+    pages = spark.readStream.schema(PAGES_SCHEMA).option(
+        "maxFilesPerTrigger", 1).parquet(input_dir)
+    results = pages.select("url", "html", "text", "warc_ts").mapInPandas(
+        _extract_batches(cfg, passthrough=("warc_ts",)), schema=schema)
+    agg = (
+        results.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum((~F.col("should_be_public")).cast("long")).alias("pii_docs"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "docs", "pii_docs",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def host_stats_stream(
     spark: SparkSession,
     input_dir: str,

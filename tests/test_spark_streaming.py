@@ -47,6 +47,62 @@ def test_stream_extract_incremental(spark, tmp_path):
         assert s["should_be_public"] == b["should_be_public"]
 
 
+def test_windowed_watermark_closes_and_drops_late(spark, tmp_path):
+    """Watermarked event-time windows: a window emits exactly once when the
+    watermark passes it; rows later than the watermark are dropped."""
+    import datetime as dt
+
+    from pii_spark.streaming import windowed_pii_stream
+    from pii_spark.synth import gen_page
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(ts_list, base=0):
+        out = []
+        for k, ts in enumerate(ts_list):
+            r = gen_page(base + k, seed=61)
+            out.append((f"{r['url']}?k={base + k}", ts, r["html"],
+                        r["text"], r["lang"]))
+        return out
+
+    def write(rows_, name):
+        from pii_spark.schemas import PAGES_SCHEMA
+        spark.createDataFrame(rows_, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    t = dt.datetime(2025, 1, 1, 0, 5)
+    late_ok = dt.datetime(2025, 1, 1, 0, 6)
+    t2 = dt.datetime(2025, 1, 1, 2, 0)
+    too_late = dt.datetime(2025, 1, 1, 0, 7)
+
+    # run 1: three docs in window [00:00, 00:10) — window stays OPEN
+    write(rows([t, t, t]), "a")
+    q = windowed_pii_stream(spark, in_dir, ckpt, out_dir)
+    q.awaitTermination(120)
+    # watermark has not passed the window yet -> zero rows emitted
+    assert spark.read.parquet(out_dir).count() == 0
+
+    # run 2: one ACCEPTED late row for the old window (watermark still
+    # behind it) plus two rows two hours later that push the watermark past
+    # the old window -> it closes and emits docs=4
+    write(rows([late_ok, t2, t2], base=10), "b")
+    q = windowed_pii_stream(spark, in_dir, ckpt, out_dir)
+    q.awaitTermination(120)
+    out = {(r["win_start"], ): r for r in spark.read.parquet(out_dir).collect()}
+    assert [(r["win_start"].hour, r["win_start"].minute, r["docs"])
+            for r in out.values()] == [(0, 0, 4)]
+
+    # run 3: a row older than the watermark (01:30) -> dropped; the closed
+    # window's emitted row is immutable
+    write(rows([too_late], base=20), "c")
+    q = windowed_pii_stream(spark, in_dir, ckpt, out_dir)
+    q.awaitTermination(120)
+    final = spark.read.parquet(out_dir).collect()
+    assert len(final) == 1 and final[0]["docs"] == 4
+
+
 def _latest_per_host(spark, out_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
