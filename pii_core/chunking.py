@@ -114,8 +114,20 @@ def build_chunks(
     max_length: int = 512,
     stride: int = 64,
     boundary_backoff: int = 32,
+    hard_split: bool = False,
 ) -> list[Chunk]:
-    """Split ``text`` into overlapping, budget-respecting chunks."""
+    """Split ``text`` into overlapping, budget-respecting chunks.
+
+    ``hard_split=False`` (default) preserves reference parity: a window that
+    cannot fit the budget even at its hard minimum end (a multi-kB unbroken
+    word-char run — the word-start backup pulls in the whole run) raises,
+    and the Spark engine quarantines the document fail-closed.
+    ``hard_split=True`` is the web-scale recovery mode: such a window is cut
+    at exact token boundaries mid-word (no word alignment, no separator
+    extension), and the next window starts one token earlier so the no-gap
+    coverage invariant still holds. All other documents chunk identically
+    in both modes.
+    """
     if not isinstance(text, str) or not text:
         return [Chunk("", 0, 0, 0)]
     if max_length <= 8:
@@ -178,12 +190,41 @@ def build_chunks(
 
         # Word-aligned boundaries can grow token count on re-tokenization;
         # shrink until the chunk fits (reference chunking.py:264-285).
+        next_start = start_tok + step
         while tokenizer.encoded_len_with_specials(text[char_start:char_end]) > max_length:
             if end_tok <= hard_min_end:
-                raise RuntimeError(
-                    f"chunk exceeds max_length={max_length} at hard minimum end "
-                    f"(start_tok={start_tok}); increase max_length or stride"
-                )
+                if not hard_split:
+                    raise RuntimeError(
+                        f"chunk exceeds max_length={max_length} at hard minimum end "
+                        f"(start_tok={start_tok}); increase max_length or stride"
+                    )
+                # Hard-split recovery: cut at exact token boundaries, no
+                # word-start backup and no separator extension, shrinking
+                # from the end until the slice re-tokenizes within budget.
+                char_start = raw_start
+                end_tok = min(start_tok + budget, n)
+                char_end = offsets[end_tok - 1][1]
+                while (end_tok > start_tok + 1 and tokenizer.
+                       encoded_len_with_specials(text[char_start:char_end])
+                       > max_length):
+                    end_tok -= 1
+                    char_end = offsets[end_tok - 1][1]
+                if tokenizer.encoded_len_with_specials(
+                        text[char_start:char_end]) > max_length:
+                    raise RuntimeError(
+                        f"single token exceeds max_length={max_length} "
+                        f"at start_tok={start_tok}")
+                if end_tok >= n:
+                    # last window: cover the (whitespace) tail when it
+                    # re-tokenizes within budget, keeping char_end==len(text)
+                    ext = _extend_over_separators(text, char_end, len(text))
+                    if ext > char_end and tokenizer.encoded_len_with_specials(
+                            text[char_start:ext]) <= max_length:
+                        char_end = ext
+                # Start the next window one token earlier than this end so
+                # the word-start backup there cannot open a coverage gap.
+                next_start = max(start_tok + 1, end_tok - 1)
+                break
             end_tok -= 1
             char_end = _char_end_for(end_tok)
             if char_end <= char_start:
@@ -193,6 +234,6 @@ def build_chunks(
         idx += 1
         if end_tok >= n:
             break
-        start_tok += step
+        start_tok = next_start
 
     return chunks

@@ -65,6 +65,10 @@ class ExtractConfig:
     # chunks per NER forward pass (reference --batch_size default 8,
     # infer_pii.py:372-375); honored when the emitter provides emit_batch
     batch_size: int = 8
+    # web-scale recovery for multi-kB unbroken char runs (minified JS,
+    # base64 blobs): False = reference-parity fail-fast (doc quarantined
+    # fail-closed); True = chunker cuts such runs at exact token boundaries
+    hard_split: bool = False
     # Optional real-model swap-in (requires torch + transformers): a HF
     # token-classification checkpoint path/name. When set, make_emitter()
     # loads pii_core.ner_transformer.TransformerEmitter and the matching
@@ -141,6 +145,7 @@ def _ner_spans(
         max_length=cfg.max_length,
         stride=cfg.stride,
         boundary_backoff=cfg.boundary_backoff,
+        hard_split=cfg.hard_split,
     )
 
     if cfg.aggregate == "mean_logits":

@@ -101,6 +101,83 @@ def test_single_giant_word_errors_like_reference():
         build_chunks("a" * 10_000, TOK, max_length=32, stride=4)
 
 
+def test_hard_split_recovers_giant_word():
+    # hard_split=True: the same pathological input chunks fine, all
+    # invariants intact, cuts landing mid-run at exact token boundaries.
+    text = "a" * 10_000
+    chunks = build_chunks(text, TOK, max_length=32, stride=4, hard_split=True)
+    assert_invariants(text, chunks, 32)
+    # ~30 tokens x 8 chars per window over 10k chars
+    assert len(chunks) > 30
+
+
+def test_hard_split_mixed_content_and_default_equivalence():
+    # a normal document chunks IDENTICALLY with the flag on (recovery only
+    # engages where the default would raise)...
+    normal = ("Primeira frase curta aqui. " * 120).strip()
+    assert (build_chunks(normal, TOK, max_length=40, stride=8)
+            == build_chunks(normal, TOK, max_length=40, stride=8,
+                            hard_split=True))
+    # ...and a doc with an embedded giant run keeps full coverage, so PII
+    # after the run is still reachable
+    text = ("Contato antes. " + "x" * 3000
+            + " Depois do blob: maria@example.com fim da pagina.")
+    with pytest.raises(RuntimeError):
+        build_chunks(text, TOK, max_length=32, stride=4)
+    chunks = build_chunks(text, TOK, max_length=32, stride=4, hard_split=True)
+    assert_invariants(text, chunks, 32)
+    joined_cover = all(
+        any(c.char_start <= i < c.char_end for c in chunks)
+        for i in (0, 1500, len(text) - 5))
+    assert joined_cover
+
+
+def test_hard_split_via_pipeline_extracts_after_blob():
+    from pii_core.pipeline import ExtractConfig, extract_page
+
+    html = ("<body><p>" + "z" * 3000
+            + " contato maria@example.com e CPF 529.982.247-25.</p></body>"
+            ).encode()
+    # default: quarantine path (extract_page raises inside _ner_spans via
+    # build_chunks; the Spark UDF catches it — here we assert the flag flips
+    # the outcome end-to-end)
+    with pytest.raises(RuntimeError):
+        extract_page("u", html, None, ExtractConfig(max_length=64, stride=8))
+    rec = extract_page("u", html, None,
+                       ExtractConfig(max_length=64, stride=8,
+                                     hard_split=True))
+    types = {s["type"] for s in rec["spans"]}
+    assert "CONTATO" in types and "DOC_PESSOAL" in types
+    assert rec["should_be_public"] is False
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_hard_split_invariants_fuzz(seed):
+    # adversarial mixes of giant unbroken runs, sentences and separators:
+    # hard_split must preserve every chunker invariant on inputs where the
+    # default mode raises.
+    import random
+    rng = random.Random(seed)
+    parts = []
+    for _ in range(rng.randrange(1, 8)):
+        kind = rng.random()
+        if kind < 0.4:
+            parts.append("".join(rng.choice("abcxyz")
+                                 for _ in range(rng.randrange(1, 2000))))
+        elif kind < 0.7:
+            parts.append(" ".join("palavra"
+                                  for _ in range(rng.randrange(1, 30))) + ".")
+        else:
+            parts.append(rng.choice([" ", "\n", "!!!", ", ", " - "]))
+    text = "".join(parts)
+    if not text.strip():
+        return
+    ml = rng.choice([16, 24, 32, 64])
+    chunks = build_chunks(text, TOK, max_length=ml,
+                          stride=rng.randrange(0, ml - 3), hard_split=True)
+    assert_invariants(text, chunks, ml)
+
+
 def test_sentence_boundary_preferred():
     # many short sentences: every chunk should end right after a terminator
     # (except possibly the last)
