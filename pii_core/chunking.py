@@ -218,9 +218,22 @@ def build_chunks(
                     # last window: cover the (whitespace) tail when it
                     # re-tokenizes within budget, keeping char_end==len(text)
                     ext = _extend_over_separators(text, char_end, len(text))
-                    if ext > char_end and tokenizer.encoded_len_with_specials(
-                            text[char_start:ext]) <= max_length:
-                        char_end = ext
+                    if ext > char_end:
+                        if tokenizer.encoded_len_with_specials(
+                                text[char_start:ext]) <= max_length:
+                            char_end = ext
+                        elif end_tok > start_tok + 1:
+                            # tokenizers where the tail costs tokens
+                            # (byte-level BPE whitespace): shed one token so
+                            # one more window covers the tail — never leave
+                            # chunks[-1].char_end short of len(text)
+                            end_tok -= 1
+                            char_end = offsets[end_tok - 1][1]
+                        else:
+                            raise RuntimeError(
+                                f"cannot cover text tail within "
+                                f"max_length={max_length} at "
+                                f"start_tok={start_tok}")
                 # Start the next window one token earlier than this end so
                 # the word-start backup there cannot open a coverage gap.
                 next_start = max(start_tok + 1, end_tok - 1)

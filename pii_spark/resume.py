@@ -28,7 +28,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pii_core.pipeline import ExtractConfig
-from pii_spark.extract import extract_pages, lineage_from_results
+from pii_spark.extract import RESULTS_WITH_PID, extract_pages, lineage_from_results
+
+
+def _committed_schema():
+    """Explicit read schema for the results dir: pins the hive partition
+    column run_id to STRING. Without it, partition-type inference turns
+    numeric-looking run ids ("007") into integers, and the read-back value
+    ("7") no longer equals the id the caller passed — silently matching
+    zero rows."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return T.StructType(
+        RESULTS_WITH_PID.fields
+        + [T.StructField("run_id", T.StringType(), False)]
+    )
 
 
 def committed_urls(spark: SparkSession, results_dir: str) -> DataFrame | None:
@@ -36,7 +50,8 @@ def committed_urls(spark: SparkSession, results_dir: str) -> DataFrame | None:
     target holds no data yet (first run)."""
     if not _exists(results_dir):
         return None
-    return spark.read.parquet(results_dir).select("url")
+    return spark.read.schema(_committed_schema()).parquet(
+        results_dir).select("url")
 
 
 def run_incremental(
@@ -62,7 +77,25 @@ def run_incremental(
     A crash between (1) and (2) leaves a run with results but no lineage;
     the next increment's anti-join still skips its urls (no re-extraction),
     and ``backfill_lineage`` repairs the gap from the committed files.
+
+    ``run_id`` must be FRESH per increment — it names this run's results
+    partition and lineage rows, so reusing one would make both ambiguous
+    (docs/lineage would cover every increment sharing the id). A reused id
+    raises before anything is written; after a crash, repair the old run
+    with ``backfill_lineage`` and retry under a new id.
     """
+    run_id = str(run_id)
+    if _exists(results_dir):
+        prior = (
+            spark.read.schema(_committed_schema()).parquet(results_dir)
+            .where(F.col("run_id") == run_id).limit(1).count()
+        )
+        if prior:
+            raise ValueError(
+                f"run_id {run_id!r} already has committed results; use a "
+                "fresh run_id per increment (backfill_lineage repairs a "
+                "crashed run's missing lineage)")
+
     done = committed_urls(spark, results_dir)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
 
@@ -73,8 +106,8 @@ def run_incremental(
     )
     if not _exists(results_dir):  # first run over an empty input
         return {"run_id": run_id, "docs": 0}
-    committed = spark.read.parquet(results_dir).where(
-        F.col("run_id").cast("string") == run_id)
+    committed = spark.read.schema(_committed_schema()).parquet(
+        results_dir).where(F.col("run_id") == run_id)
     n = committed.count()
     if n:
         lineage = lineage_from_results(committed, run_id)
@@ -93,8 +126,7 @@ def backfill_lineage(
     Returns the repaired run ids (the run-id list is tiny — one per job)."""
     if not _exists(results_dir):
         return []
-    res = spark.read.parquet(results_dir).withColumn(
-        "run_id", F.col("run_id").cast("string"))
+    res = spark.read.schema(_committed_schema()).parquet(results_dir)
     runs = res.select("run_id").distinct()
     if _exists(lineage_dir):
         have = spark.read.parquet(lineage_dir).select("run_id").distinct()
@@ -125,12 +157,18 @@ def lineage_summary(spark: SparkSession, lineage_dir: str) -> DataFrame:
 
 
 def _exists(path: str) -> bool:
-    """True iff the directory holds at least one parquet data file —
-    recursive, because results are hive-partitioned by run_id (a bare
-    _SUCCESS marker from an all-empty write is NOT data)."""
+    """True iff the directory holds at least one COMMITTED parquet data
+    file — recursive, because results are hive-partitioned by run_id (a
+    bare _SUCCESS marker from an all-empty write is NOT data). Hidden dirs
+    (`_temporary/` task attempts from a crashed write, `.staging`) are
+    skipped: Spark's reader ignores them too, so counting them would make
+    _exists say "data" while the read finds none — bricking every retry
+    after a first-write crash."""
     if not os.path.isdir(path):
         return False
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
+    for _root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(f.endswith(".parquet") and not f.startswith((".", "_"))
+               for f in files):
             return True
     return False

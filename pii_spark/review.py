@@ -96,20 +96,23 @@ def add_missing(results: DataFrame, review: DataFrame) -> DataFrame:
 
 # Greedy non-overlapping literal occurrences of `value` in `txt`, 0-based
 # starts — exact pii_core.spans.literal_occurrences (find/advance) semantics,
-# expressed as filter+aggregate HOFs so the scan stays JVM-side (no Python
-# in the path). The fold keeps a match only when it starts at or after the
-# previous kept match's end, which is what makes self-overlapping values
-# ('aa' in 'aaa') match the core's greedy behavior, not all positions.
-_GREEDY_OCC_SQL = """
-CASE WHEN length(value) > 0 AND length(txt) >= length(value) THEN
+# expressed JVM-side (no Python in the path): regex-escape the value, split
+# the text on it (the regex engine consumes matches left-to-right
+# non-overlapping — identical to find/advance, including self-overlapping
+# values like 'aa' in 'aaa'), then fold segment lengths into match starts.
+# Memory is O(#segments), never a doc-length index array — a 2 MB document
+# with sparse matches folds a handful of segments, not 2M integers.
+# (The split appears twice; Catalyst CSE collapses deterministic duplicates.)
+_VALUE_ESCAPED = r"regexp_replace(value, '([.^$|?*+()\\[\\]{}\\\\])', '\\\\$1')"
+_GREEDY_OCC_SQL = rf"""
+CASE WHEN length(value) > 0 THEN
   aggregate(
-    filter(sequence(0, length(txt) - length(value)),
-           i -> substring(txt, i + 1, length(value)) = value),
-    named_struct('acc', CAST(array() AS array<int>), 'last_end', -1),
-    (st, p) -> IF(p >= st.last_end,
-                  named_struct('acc', concat(st.acc, array(p)),
-                               'last_end', p + length(value)),
-                  st),
+    slice(split(txt, {_VALUE_ESCAPED}, -1), 1,
+          size(split(txt, {_VALUE_ESCAPED}, -1)) - 1),
+    named_struct('acc', CAST(array() AS array<int>), 'pos', 0),
+    (st, seg) -> named_struct(
+        'acc', concat(st.acc, array(st.pos + length(seg))),
+        'pos', st.pos + length(seg) + length(value)),
     st -> st.acc)
 ELSE CAST(array() AS array<int>) END
 """

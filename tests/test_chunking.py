@@ -178,6 +178,27 @@ def test_hard_split_invariants_fuzz(seed):
     assert_invariants(text, chunks, ml)
 
 
+def test_hard_split_tail_with_whitespace_costing_tokenizer():
+    # Byte-level-BPE-style tokenizers charge tokens for whitespace, so the
+    # last hard-split window may not afford the tail extension; the chunker
+    # must shed a token and cover the tail with one more window rather than
+    # leave chunks[-1].char_end short of len(text).
+    class WsCost(WordTokenizer):
+        def encoded_len_with_specials(self, text):
+            ws = sum(1 for c in text if c.isspace())
+            return len(self.encode(text)) + self.num_special_tokens + ws
+
+    tok = WsCost()
+    text = "b" * 500 + "   "
+    chunks = build_chunks(text, tok, max_length=16, stride=2, hard_split=True)
+    assert chunks[-1].char_end == len(text)
+    for ch in chunks:
+        assert tok.encoded_len_with_specials(ch.text) <= 16
+        assert ch.text == text[ch.char_start:ch.char_end]
+    for p, nx in zip(chunks, chunks[1:]):
+        assert p.char_start <= nx.char_start <= p.char_end
+
+
 def test_sentence_boundary_preferred():
     # many short sentences: every chunk should end right after a terminator
     # (except possibly the last)

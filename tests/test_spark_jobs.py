@@ -83,6 +83,47 @@ def test_lineage_derives_from_committed_results(spark, tmp_path, monkeypatch):
     assert lineage_bytes == committed_bytes
 
 
+def test_numeric_looking_run_id_roundtrips(spark, tmp_path):
+    # Regression: hive partition-type inference would read run_id="007"
+    # back as integer 7, silently matching zero rows -> no lineage written.
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    out = run_incremental(spark, pages_df(spark, 6, seed=2), rdir, ldir,
+                          "007", num_partitions=2)
+    assert out["docs"] == 6
+    summ = {r["run_id"]: r for r in lineage_summary(spark, ldir).collect()}
+    assert summ["007"]["docs"] == 6
+
+
+def test_reused_run_id_rejected_before_any_write(spark, tmp_path):
+    # Regression: re-running under the same run_id would recount the whole
+    # partition as "this increment" and append duplicate lineage.
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    run_incremental(spark, pages_df(spark, 5, seed=4), rdir, ldir, "r1",
+                    num_partitions=2)
+    with pytest.raises(ValueError, match="fresh run_id"):
+        run_incremental(spark, pages_df(spark, 9, seed=4), rdir, ldir, "r1",
+                        num_partitions=2)
+    # nothing was double-written
+    assert spark.read.parquet(rdir).count() == 5
+    summ = {r["run_id"]: r for r in lineage_summary(spark, ldir).collect()}
+    assert summ["r1"]["docs"] == 5
+
+
+def test_crashed_first_write_leftovers_do_not_brick_retry(spark, tmp_path):
+    # Regression: task-attempt leftovers under _temporary/ must not make
+    # _exists claim committed data (the read would then fail forever).
+    import os
+
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    tmp_task = os.path.join(rdir, "_temporary", "0", "task_0")
+    os.makedirs(tmp_task)
+    with open(os.path.join(tmp_task, "part-0.snappy.parquet"), "wb") as f:
+        f.write(b"not a real parquet footer")
+    out = run_incremental(spark, pages_df(spark, 4, seed=6), rdir, ldir,
+                          "r1", num_partitions=2)
+    assert out["docs"] == 4
+
+
 def test_backfill_lineage_repairs_crashed_run(spark, tmp_path, monkeypatch):
     import pii_spark.resume as resume
     from pii_spark.resume import backfill_lineage
@@ -194,6 +235,14 @@ def test_greedy_occurrence_hof_matches_core(spark):
         ("", "a"),
         ("abc", "zzz"),
         ("abcabc", "abc"),
+        # regex metacharacters in the value must be treated literally
+        ("mail x@y.org e x@y.org fim", "x@y.org"),
+        ("a(b)c a(b)c", "a(b)c"),
+        ("w [x]+ w [x]+", "[x]+"),
+        ("back\\slash back\\slash", "back\\slash"),
+        ("5*5=25 5*5", "5*5"),
+        ("fim.", "."),
+        ("a^b$c a^b$c", "a^b$c"),
     ]
     df = spark.createDataFrame(cases, "txt string, value string")
     got = df.select("txt", "value",
