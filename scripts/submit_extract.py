@@ -6,7 +6,7 @@ Usage:
   python scripts/make_pyfiles_zip.py                       # build dist/pii_libs.zip
   spark-submit --master local[8] --py-files dist/pii_libs.zip \
       scripts/submit_extract.py --input <pages_parquet_dir> \
-      --output out/results --lineage out/lineage --run-id run1 [--synth N]
+      --output out/results --lineage out/lineage [--run-id <unique>] [--synth N]
 
 On a cluster the same invocation works with --master yarn/k8s etc.; the zip
 ships identical pii_core/pii_spark bytes to every executor, which is what
@@ -26,7 +26,13 @@ def main() -> int:
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
-    ap.add_argument("--run-id", default="run1")
+    # run ids must be FRESH per increment (resume.run_incremental rejects
+    # reuse); default to a wall-clock-derived id so repeated submissions
+    # just work. Pass an explicit id for replayable/audited runs.
+    ap.add_argument(
+        "--run-id",
+        default=None,
+        help="unique id for this increment (default: run-<epoch-ms>)")
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args()
 
@@ -44,8 +50,14 @@ def main() -> int:
     else:
         raise SystemExit("one of --input / --synth required")
 
+    run_id = args.run_id
+    if run_id is None:
+        import time  # noqa: PLC0415
+
+        run_id = f"run-{int(time.time() * 1000)}"
+
     out = run_incremental(
-        spark, pages, args.output, args.lineage, args.run_id,
+        spark, pages, args.output, args.lineage, run_id,
         num_partitions=args.partitions,
     )
     print(json.dumps(out))
