@@ -657,6 +657,110 @@ def pii_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _train_split_threshold() -> str:
+    from pii_spark.training import split_threshold_hex
+
+    return split_threshold_hex(0.10)
+
+
+@register(
+    "train_val_split",
+    oracle=None,  # set below (needs the threshold constant)
+)
+def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic train/validation split (reference O7,
+    finetune_pii_token_classification.py:436-444 train_test_split): content-
+    hash assignment — disjoint, proportional, identical on any cluster size
+    (unlike a shuffled permutation). Emits per-split counts + witnesses."""
+    from pii_spark.training import train_val_split
+
+    d = _t(spark, sf_dir, "documents")
+    train, val = train_val_split(d, 0.10, seed=42, key_col="doc_id")
+    tagged = train.select("doc_id", F.lit("train").alias("split")).unionByName(
+        val.select("doc_id", F.lit("val").alias("split")))
+    return (
+        tagged.groupBy("split")
+        .agg(F.count("*").alias("n"),
+             F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))
+        .orderBy("split")
+    )
+
+
+ORACLES["train_val_split"] = f"""
+SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS STRING) || ':42'), 1, 4)
+                   < '{_train_split_threshold()}'
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+) s GROUP BY split ORDER BY split
+"""
+
+
+@register(
+    "training_micro_f1",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(generate_series(1, n_chars % 20 + 5)) AS k
+      FROM documents
+    ),
+    vals AS (
+      SELECT doc_id, k,
+             CASE WHEN k % 7 = 0 THEN -100
+                  ELSE CAST((doc_id + k) % 5 AS INT) END AS y,
+             CAST((doc_id + k + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) % 5
+                  AS INT) AS p
+      FROM toks
+    )
+    SELECT CAST(SUM(CASE WHEN y <> -100 AND p <> 0 AND y <> 0 AND p = y
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y <> -100 AND p <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pred_pos,
+           CAST(SUM(CASE WHEN y <> -100 AND y <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS true_pos,
+           CAST(floor(
+             2.0 * SUM(CASE WHEN y <> -100 AND p <> 0 AND y <> 0 AND p = y
+                            THEN 1 ELSE 0 END) * 10000
+             / (SUM(CASE WHEN y <> -100 AND p <> 0 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN y <> -100 AND y <> 0 THEN 1 ELSE 0 END))
+           ) AS BIGINT) AS f1_x10000
+    FROM vals
+    """,
+)
+def training_micro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-classification micro-F1 counters (reference A9,
+    finetune_pii_token_classification.py:562-587 compute_metrics): pred and
+    label id sequences derived deterministically per document, -100 padding
+    positions skipped, positive == not-O. The Spark side runs the array-HOF
+    counters from pii_spark.training (zip_with + filter); the oracle
+    re-derives the counts with flat SQL over unnested indices — two genuinely
+    independent implementations."""
+    from pii_spark.training import micro_f1_counters
+
+    d = _t(spark, sf_dir, "documents")
+    length = (F.col("n_chars") % 20 + 5).cast("int")
+    ks = F.sequence(F.lit(1), length)
+    label = F.transform(ks, lambda k: F.when(k % 7 == 0, -100).otherwise(
+        ((F.col("doc_id") + k) % 5).cast("int")))
+    pred = F.transform(ks, lambda k: (
+        (F.col("doc_id") + k + F.when(k % 3 == 0, 1).otherwise(0)) % 5
+    ).cast("int"))
+    seqs = d.select(pred.alias("pred"), label.alias("label"))
+    n_tp, n_pred, n_true = micro_f1_counters("pred", "label", o_id=0)
+    agg = seqs.agg(
+        F.sum(n_tp).alias("tp"),
+        F.sum(n_pred).alias("pred_pos"),
+        F.sum(n_true).alias("true_pos"),
+    )
+    return agg.select(
+        "tp", "pred_pos", "true_pos",
+        F.floor(2.0 * F.col("tp") * 10000
+                / (F.col("pred_pos") + F.col("true_pos")))
+        .cast("long").alias("f1_x10000"),
+    )
+
+
 @register("pii_extract_pdf_pages")  # no oracle: PDF layout parse is not SQL
 def pii_extract_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction over PDF payloads (north rule: "PDF/layout parse"): the

@@ -1,0 +1,123 @@
+"""Training-side operators (reference S3 / A9 / O7,
+training/finetune_pii_token_classification.py). The forward/backward pass
+itself needs torch and stays out of scope, but everything AROUND it — the
+dataset scan, the train/validation split, and the eval-metric accumulators —
+is data-plane work this engine expresses Spark-first.
+
+* S3 — dataset scan: the reference loads the chunked JSONL with HF
+  ``load_dataset("json", ...)`` (finetune...py:423). ``load_training_dataset``
+  is the distributed twin: schema-pinned ``spark.read.json`` over the JSONL
+  emitted by ``write_training_jsonl`` (round-trips pii_spark.dataset's
+  CHUNKS_SCHEMA records).
+* O7 — split: the reference uses seeded ``train_test_split(test_size,
+  seed)`` (finetune...py:436-444) — a shuffled permutation, which is not
+  reproducible across cluster sizes. ``train_val_split`` uses a seeded
+  content-hash split instead: same contract (disjoint, seeded, proportional)
+  and deterministic for ANY partitioning/cluster size — the property that
+  matters at 10^12 rows. md5 is the hash so the DuckDB oracle reproduces
+  the exact assignment.
+* A9 — training micro-F1: the reference's compute_metrics
+  (finetune...py:562-587) counts token-level tp / pred-positive /
+  true-positive over (pred, label) id sequences, skipping label==-100
+  positions, positive == not-O. ``token_micro_f1`` runs the same counters
+  as JVM array HOFs (zip_with + filter) — no Python in the hot path — with
+  one tiny final reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pii_spark.dataset import CHUNKS_SCHEMA
+
+_HEX_SPACE = 16 ** 4  # split granularity: first 4 md5 hex chars
+
+
+def write_training_jsonl(chunks: DataFrame, out_dir: str) -> None:
+    """Training-dataset JSONL sink (one record per chunk — the file HF
+    ``load_dataset("json")`` consumes in the reference)."""
+    chunks.write.mode("overwrite").json(out_dir)
+
+
+def load_training_dataset(spark: SparkSession, path: str) -> DataFrame:
+    """S3: schema-pinned scan of the chunked training JSONL. Pinning the
+    schema skips Spark's sampling inference pass (one read, not two) and
+    fails loudly on drifted files instead of silently widening types."""
+    return spark.read.schema(CHUNKS_SCHEMA).json(path)
+
+
+def train_val_split(
+    df: DataFrame,
+    val_fraction: float = 0.10,
+    seed: int = 42,
+    key_col: str = "doc_key",
+) -> tuple[DataFrame, DataFrame]:
+    """O7: seeded deterministic (train, val) split by content hash of the
+    key — every row lands in exactly one side, the same side on any cluster
+    size or partitioning. Rows with equal keys land on the same side
+    (leak-free for grouped data like chunks of one document)."""
+    if not 0.0 <= val_fraction < 1.0:
+        raise ValueError(f"val_fraction must be in [0, 1): {val_fraction}")
+    is_val = _val_predicate(key_col, val_fraction, seed)
+    return df.where(~is_val), df.where(is_val)
+
+
+def split_threshold_hex(val_fraction: float) -> str:
+    """The split threshold as a 4-hex-char string: lowercase hex compares
+    lexicographically in value order, so `substr(md5, 1, 4) < threshold`
+    selects a uniform ~val_fraction of keys with NO base conversion —
+    the same expression runs verbatim on Spark and DuckDB."""
+    return format(int(round(val_fraction * _HEX_SPACE)), "04x")
+
+
+def _val_predicate(key_col: str, val_fraction: float, seed: int) -> F.Column:
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
+    return F.substring(h, 1, 4) < F.lit(split_threshold_hex(val_fraction))
+
+
+def micro_f1_counters(
+    pred_col: str = "pred",
+    label_col: str = "label",
+    o_id: int = 0,
+    ignore_id: int = -100,
+) -> tuple[F.Column, F.Column, F.Column]:
+    """Per-row (tp, pred_pos, true_pos) counter columns over id-sequence
+    arrays — the reference's compute_metrics inner loop
+    (finetune...py:562-587) as zip_with/filter HOFs (JVM-side)."""
+    pairs = F.zip_with(
+        F.col(pred_col), F.col(label_col),
+        lambda p, y: F.struct(p.alias("p"), y.alias("y")),
+    )
+    live = F.filter(pairs, lambda s: s.y != ignore_id)
+    n_tp = F.size(F.filter(
+        live, lambda s: (s.p != o_id) & (s.y != o_id) & (s.p == s.y)))
+    n_pred = F.size(F.filter(live, lambda s: s.p != o_id))
+    n_true = F.size(F.filter(live, lambda s: s.y != o_id))
+    return n_tp, n_pred, n_true
+
+
+def token_micro_f1(
+    seqs: DataFrame,
+    pred_col: str = "pred",
+    label_col: str = "label",
+    o_id: int = 0,
+    ignore_id: int = -100,
+) -> dict:
+    """A9: token-classification micro-F1 over id sequences — the reference's
+    compute_metrics counters (finetune...py:562-587) as array HOFs. Returns
+    {tp, pred_pos, true_pos, precision, recall, f1} from ONE aggregated row.
+    """
+    n_tp, n_pred, n_true = micro_f1_counters(pred_col, label_col, o_id,
+                                             ignore_id)
+    row = seqs.agg(
+        F.sum(n_tp).alias("tp"),
+        F.sum(n_pred).alias("pred_pos"),
+        F.sum(n_true).alias("true_pos"),
+    ).collect()[0]
+    tp, pp, ap = int(row.tp or 0), int(row.pred_pos or 0), int(row.true_pos or 0)
+    precision = tp / pp if pp else 0.0
+    recall = tp / ap if ap else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "pred_pos": pp, "true_pos": ap,
+            "precision": precision, "recall": recall, "f1": f1}

@@ -1,0 +1,119 @@
+"""Training-side operators: dataset scan (S3), train/val split (O7),
+token micro-F1 (A9) — the data-plane parts of the reference's
+finetune_pii_token_classification.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark.training import (
+    load_training_dataset,
+    token_micro_f1,
+    train_val_split,
+    write_training_jsonl,
+)
+
+
+def test_split_disjoint_deterministic_and_proportional(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train, val = train_val_split(d, 0.10, seed=42, key_col="doc_id")
+    n, nt, nv = d.count(), train.count(), val.count()
+    assert nt + nv == n
+    assert train.join(val, "doc_id", "inner").count() == 0
+    # proportional within sampling noise (4-hex-digit uniform hash)
+    assert 0.03 * n <= nv <= 0.20 * n
+    # deterministic: a second invocation picks the identical val set
+    _, val2 = train_val_split(d, 0.10, seed=42, key_col="doc_id")
+    assert val.select("doc_id").subtract(val2.select("doc_id")).count() == 0
+    # a different seed picks a different set
+    _, val3 = train_val_split(d, 0.10, seed=7, key_col="doc_id")
+    assert val.select("doc_id").subtract(val3.select("doc_id")).count() > 0
+
+
+def test_split_groups_stay_together(spark):
+    # chunks of one document (equal keys) must land on one side — leak-free
+    rows = [(f"doc{i % 5}", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_key string, chunk int")
+    train, val = train_val_split(df, 0.4, seed=1)
+    sides = (
+        train.select("doc_key").distinct().withColumn("s", F.lit("t"))
+        .unionByName(val.select("doc_key").distinct().withColumn("s", F.lit("v")))
+    )
+    per_key = sides.groupBy("doc_key").agg(F.countDistinct("s").alias("ns"))
+    assert per_key.where("ns > 1").count() == 0
+
+
+def test_split_rejects_bad_fraction(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_key")
+    with pytest.raises(ValueError):
+        train_val_split(df, 1.0)
+
+
+def test_training_jsonl_roundtrip(spark, tmp_path):
+    # S3: the chunked dataset written as JSONL reads back schema-identical
+    from pii_core.pipeline import ExtractConfig
+    from pii_spark.dataset import build_chunked_dataset
+
+    docs = spark.createDataFrame(
+        [("d1", "O requerente Carlos Silva mora na Rua A, 10. " * 6,
+          [{"type": "NOME_PESSOA", "value": "Carlos Silva"}])],
+        "doc_key string, text string, entities array<struct<type:string,value:string>>",
+    )
+    chunks = build_chunked_dataset(
+        docs, ExtractConfig(max_length=32, stride=8, boundary_backoff=8))
+    path = str(tmp_path / "ds")
+    write_training_jsonl(chunks, path)
+    back = load_training_dataset(spark, path)
+    # JSON scans surface every (nested) field nullable; names and types
+    # must match — simpleString drops nullability
+    assert back.schema.simpleString() == chunks.schema.simpleString()
+    key = lambda r: (r["doc_key"], r["chunk_index"])
+    a = sorted((r.asDict(recursive=True) for r in chunks.collect()), key=key)
+    b = sorted((r.asDict(recursive=True) for r in back.collect()), key=key)
+    assert a == b
+
+
+def _reference_micro_f1(seqs, o_id=0):
+    """Literal port of compute_metrics (finetune...py:562-587) for the test
+    oracle."""
+    tp = pred_pos = true_pos = 0
+    for p_seq, y_seq in seqs:
+        for p, y in zip(p_seq, y_seq):
+            if y == -100:
+                continue
+            if p != o_id:
+                pred_pos += 1
+            if y != o_id:
+                true_pos += 1
+            if p != o_id and y != o_id and p == y:
+                tp += 1
+    precision = tp / pred_pos if pred_pos else 0.0
+    recall = tp / true_pos if true_pos else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "pred_pos": pred_pos, "true_pos": true_pos,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
+def test_token_micro_f1_matches_reference_semantics(spark):
+    import random
+
+    rng = random.Random(11)
+    seqs = []
+    for _ in range(40):
+        length = rng.randrange(1, 30)
+        y = [rng.choice([-100, 0, 1, 2, 3]) for _ in range(length)]
+        p = [rng.choice([0, 1, 2, 3]) for _ in range(length)]
+        seqs.append((p, y))
+    df = spark.createDataFrame(seqs, "pred array<int>, label array<int>")
+    got = token_micro_f1(df)
+    want = _reference_micro_f1(seqs)
+    assert got == pytest.approx(want)
+
+
+def test_token_micro_f1_empty_and_all_o(spark):
+    df = spark.createDataFrame(
+        [([0, 0], [0, 0]), ([], [])], "pred array<int>, label array<int>")
+    m = token_micro_f1(df)
+    assert (m["tp"], m["pred_pos"], m["true_pos"]) == (0, 0, 0)
+    assert m["f1"] == 0.0
