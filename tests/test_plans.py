@@ -95,6 +95,35 @@ def test_error_bucket_two_phase_prune(spark):
     assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
 
 
+def test_bucketed_join_no_exchange(spark, sfd, tmp_path):
+    """Two tables bucketed identically on the join key join with ZERO
+    Exchange — the co-located layout a 100 TB deployment uses for every
+    repeated fact-fact join (results by url, signatures by doc_id)."""
+    from pii_spark.util import read_table, write_bucketed_table
+
+    d = read_table(spark, sfd, "documents")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(d.select("doc_id", "n_chars"),
+                             "t_docs_b", "doc_id", 8, sort_col="doc_id")
+        write_bucketed_table(d.select("doc_id", "lang"),
+                             "t_lang_b", "doc_id", 8, sort_col="doc_id")
+        j = spark.table("t_docs_b").join(spark.table("t_lang_b"), "doc_id")
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # same join on the raw (unbucketed) frames DOES shuffle — the
+        # layout, not the data size, is what removed the Exchange
+        raw = d.select("doc_id", "n_chars").join(
+            d.select("doc_id", "lang"), "doc_id")
+        assert "Exchange" in _plan(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_lang_b")
+
+
 def test_extraction_single_shuffle(spark, sfd):
     from pii_spark.extract import extract_pages
     from pii_spark.synth import pages_df
