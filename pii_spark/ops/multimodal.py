@@ -61,6 +61,55 @@ def extract_features(docs_with_blob: DataFrame) -> DataFrame:
     return docs_with_blob.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("off", T.IntegerType(), False),
+    T.StructField("frame_sig", T.StringType(), False),
+])
+
+
+def sample_frames(docs_with_blob: DataFrame, n_frames: int = 4,
+                  frame_len: int = 32) -> DataFrame:
+    """Frame sampling over an opaque "video" blob: ``n_frames`` evenly
+    spaced byte windows per document (the real decode — ffmpeg keyframe
+    extraction — replaces the byte-window slice inside the SAME mapInPandas;
+    offsets, batch shape and the one-row-per-frame explode are the
+    production plumbing). Documents shorter than one frame emit nothing.
+
+    Offsets are pure integer arithmetic on the blob length, so the whole
+    operator is oracle-checkable: off_i = floor(i·(n−len)/(k−1)).
+    """
+    if n_frames < 1 or frame_len < 1:
+        raise ValueError(f"bad n_frames={n_frames} / frame_len={frame_len}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+
+        for pdf in batches:
+            ids, idxs, offs, sigs = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"].to_numpy(), pdf["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                n = len(b)
+                if n < frame_len:
+                    continue
+                for i in range(n_frames):
+                    off = ((i * (n - frame_len)) // (n_frames - 1)
+                           if n_frames > 1 else 0)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    sigs.append(hashlib.md5(b[off:off + frame_len]).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "off": pd.Series(offs, dtype="int32"),
+                "frame_sig": pd.Series(sigs, dtype="object"),
+            })
+
+    return docs_with_blob.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 from pii_spark.util import read_table as _t  # noqa: E402
 
 
@@ -87,6 +136,34 @@ def register_queries(register) -> None:
                 .alias("n_distinct_sig"),
             ).orderBy("source")
         )
+
+    @register(
+        "frame_sample",
+        oracle="""
+        WITH f AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS n,
+                 unnest(generate_series(0, 3)) AS i
+          FROM documents
+          WHERE doc_id < 300 AND octet_length(encode(text)) >= 32
+        )
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               CAST(floor(i * (n - 32) / 3.0) AS INT) AS off,
+               md5(substr(text,
+                          CAST(floor(i * (n - 32) / 3.0) AS INT) + 1,
+                          32)) AS frame_sig
+        FROM f ORDER BY doc_id, frame_idx
+        """,
+    )
+    def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Frame sampling over binary payloads (video-style): 4 evenly
+        spaced 32-byte windows per document via the mapInPandas explode in
+        ``sample_frames``. The oracle re-derives offsets with flat SQL and
+        signatures via md5 over text slices — valid because documents.text
+        is ASCII word soup (byte offsets == char offsets)."""
+        d = _t(spark, sf_dir, "documents").where("doc_id < 300").select(
+            "doc_id", F.encode("text", "utf-8").alias("blob"))
+        return sample_frames(d, n_frames=4, frame_len=32) \
+            .orderBy("doc_id", "frame_idx")
 
     @register("multimodal_features")  # rows-only: stub decoder is not SQL
     def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -355,6 +355,26 @@ def test_multimodal_plumbing(spark):
     assert rows[2]["width"] == b"\xff"[0] % 64 + 1
 
 
+def test_frame_sampling_edges(spark):
+    from pii_spark.ops.multimodal import sample_frames
+
+    d = spark.createDataFrame(
+        [(1, bytes(range(200))), (2, b"short"), (3, None), (4, b"x" * 32)],
+        "doc_id long, blob binary")
+    rows = sample_frames(d, n_frames=4, frame_len=32).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by) == [1, 4]          # short/None blobs emit nothing
+    assert [r["frame_idx"] for r in sorted(by[1], key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    offs = [r["off"] for r in sorted(by[1], key=lambda r: r["frame_idx"])]
+    assert offs == [0, 56, 112, 168]     # floor(i*168/3)
+    assert all(r["off"] == 0 for r in by[4])  # exactly one frame of data
+    import hashlib
+    want = hashlib.md5(bytes(range(56, 88))).hexdigest()
+    assert sorted(by[1], key=lambda r: r["frame_idx"])[1]["frame_sig"] == want
+
+
 def test_eval_report_rendering(spark, tmp_path):
     mk = lambda t, s, e: {"type": t, "start": s, "end": e, "value": "x",
                           "conf": 1.0, "n_tokens": 1}
