@@ -96,6 +96,15 @@ def register_queries(register) -> None:
         for j in range(_N_PLANES)
     )
 
+    # multi-probe: the query's own bucket plus every bucket at Hamming
+    # distance 1 (one sign bit flipped) — _N_PLANES+1 probes per query
+    flip_sql = " UNION ALL ".join(
+        f"SELECT query_id, qe, substr(bucket, 1, {j - 1}) || "
+        f"(CASE WHEN substr(bucket, {j}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(bucket, {j + 1}) AS probe FROM q"
+        for j in range(1, _N_PLANES + 1)
+    )
+
     @register(
         "knn_lsh",
         oracle=f"""
@@ -104,10 +113,16 @@ def register_queries(register) -> None:
         keyed AS (SELECT vec_id, e, {sign_bit_sql} AS bucket FROM qv),
         q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM keyed
               WHERE vec_id < {_N_QUERIES}),
+        probes AS (
+          SELECT query_id, qe, bucket AS probe FROM q
+          UNION ALL
+          {flip_sql}
+        ),
         scored AS (
-          SELECT q.query_id, k.vec_id,
+          SELECT p.query_id, k.vec_id,
                  CAST({_QDOT_SQL.format(dim=_DIM, a='qe', b='k.e')} AS BIGINT) AS qdot
-          FROM q JOIN keyed k ON q.bucket = k.bucket AND q.query_id <> k.vec_id
+          FROM probes p JOIN keyed k
+            ON p.probe = k.bucket AND p.query_id <> k.vec_id
         )
         SELECT query_id, vec_id AS neighbor_id, qdot, rk FROM (
           SELECT query_id, vec_id, qdot,
@@ -118,11 +133,19 @@ def register_queries(register) -> None:
         """,
     )
     def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """LSH-bucketed ANN: 4 deterministic hyperplane sign bits form the
-        bucket key; each query probes only its bucket (1/16 of the corpus in
-        expectation). The bucket join shuffles (bucket, vec) — at 100 TB the
-        corpus would be *written* bucketed so probes are partition-pruned
-        scans with zero shuffle."""
+        """Multi-probe LSH ANN: 4 deterministic hyperplane sign bits form
+        the bucket key; each query probes its own bucket PLUS the 4 buckets
+        one bit-flip away (Hamming radius 1) — the standard multi-probe
+        trade: ~5/16 of the corpus scanned instead of 1/16. Measured
+        recall@5 vs exact top-k: 0.38 (was 0.10 single-probe) on the
+        synthetic near-uniform embeddings, where the random-scan baseline
+        for a 5/16 probe fraction is ~0.31 — real clustered embeddings
+        separate much further; the IVF variant (which adapts its probe set)
+        reaches 0.84 on the same corpus
+        (tests/test_spark_ops_semantics.py::test_ann_recall_vs_bruteforce).
+        The bucket join shuffles (bucket, vec) — at 100 TB the corpus would
+        be *written* bucketed (util.write_bucketed_table) so probes are
+        partition-pruned scans with zero shuffle."""
         from pyspark.sql import Window
 
         e = _t(spark, sf_dir, "embeddings").select(
@@ -142,11 +165,25 @@ def register_queries(register) -> None:
                 bits.append(F.when(s > 0, "1").otherwise("0"))
             return F.concat(*bits)
 
+        def flip(j: int) -> F.Column:
+            return F.concat(
+                F.substring("bucket", 1, j - 1),
+                F.when(F.substring("bucket", j, 1) == "1", "0").otherwise("1"),
+                F.expr(f"substring(bucket, {j + 1})"),
+            )
+
         keyed = e.withColumn("bucket", bucket(F.col("e")))
         q = keyed.where(f"vec_id < {_N_QUERIES}").select(
             F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket")
+        probes = q.select(
+            "query_id", "qe",
+            F.explode(F.array(
+                F.col("bucket"),
+                *[flip(j) for j in range(1, _N_PLANES + 1)],
+            )).alias("bucket"),
+        )
         scored = (
-            keyed.join(F.broadcast(q), "bucket")
+            keyed.join(F.broadcast(probes), "bucket")
             .where(F.col("query_id") != F.col("vec_id"))
             .select("query_id", "vec_id",
                     _qdot(F.col("qe"), F.col("e")).alias("qdot"))

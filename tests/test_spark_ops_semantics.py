@@ -81,6 +81,34 @@ def test_knn_bruteforce_is_exact_topk(spark, sfd):
         assert got[q] == expect, f"query {q}"
 
 
+def test_ann_recall_vs_bruteforce(spark, sfd):
+    """Quality, not just determinism: the approximate variants must actually
+    FIND true neighbors. Measured recall@5 against the exact top-k on the
+    same vectors — deterministic corpus, so the measured values are stable
+    (multi-probe LSH 0.38, IVF 0.84 at sf0.001; the synthetic embeddings
+    are near-uniform, the hardest case for hashing ANN — floors set with
+    margin below the measured values)."""
+    def topk_sets(name):
+        out: dict[int, set[int]] = {}
+        for r in QUERIES[name](spark, sfd).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets("knn_bruteforce")
+
+    def recall(approx):
+        hits = total = 0
+        for q, true_set in exact.items():
+            total += len(true_set)
+            hits += len(true_set & approx.get(q, set()))
+        return hits / total if total else 0.0
+
+    r_lsh = recall(topk_sets("knn_lsh"))
+    r_ivf = recall(topk_sets("knn_ivf"))
+    assert r_lsh >= 0.3, f"LSH recall collapsed: {r_lsh:.3f}"
+    assert r_ivf >= 0.6, f"IVF recall collapsed: {r_ivf:.3f}"
+
+
 def test_knn_lsh_neighbors_share_bucket_semantics(spark, sfd):
     """LSH results are a subset of brute-force candidates ranked by the same
     score; every returned neighbor must have rank position consistent with
