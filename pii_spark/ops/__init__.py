@@ -6,7 +6,7 @@ from __future__ import annotations
 
 
 def register_all(register) -> None:
-    from pii_spark.ops import dedup, multimodal, similarity, textstats
+    from pii_spark.ops import dedup, multimodal, similarity, textstats, urls
 
-    for mod in (textstats, dedup, similarity, multimodal):
+    for mod in (textstats, dedup, similarity, multimodal, urls):
         mod.register_queries(register)

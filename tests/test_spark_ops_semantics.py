@@ -81,6 +81,26 @@ def test_knn_bruteforce_is_exact_topk(spark, sfd):
         assert got[q] == expect, f"query {q}"
 
 
+def test_url_canonicalization_golden(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.ops.urls import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Site.COM/Path/?utm_source=x&id=9&fbclid=z#frag",
+         "https://site.com/Path?id=9"),
+        ("http://site.com/a/b/", "http://site.com/a/b"),
+        ("http://site.com/a?b=2&a=1", "http://site.com/a?a=1&b=2"),  # sorted
+        ("http://site.com/a?utm_campaign=x&gclid=1", "http://site.com/a"),
+        ("http://Site.com/CaseKept", "http://site.com/CaseKept"),
+        ("https://www.x.org/p#only-frag", "https://x.org/p"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    for r in df.select(canonical_url(F.col("url")).alias("got"),
+                       "want", "url").collect():
+        assert r["got"] == r["want"], r["url"]
+
+
 def test_ann_recall_vs_bruteforce(spark, sfd):
     """Quality, not just determinism: the approximate variants must actually
     FIND true neighbors. Measured recall@5 against the exact top-k on the
