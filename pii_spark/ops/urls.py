@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 from pii_spark.util import read_table as _t
 
-_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+# any param whose NAME starts with one of these is dropped — covers
+# fbclid=..., bare fbclid, gclid_src=...; extend the tuple and both the
+# Spark filter and the generated oracle predicate pick it up
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
 
 # dialect-shared messy-url construction (Spark SQL ∩ DuckDB)
 _MESSY_URL_SQL = """
@@ -43,9 +46,15 @@ _MESSY_URL_SQL = """
 
 def canonical_url(url: Column) -> Column:
     """Canonical form of ``url`` per the frozen spec — pyspark builtins only
-    (regexp + array HOFs; stays in whole-stage codegen)."""
+    (regexp + array HOFs; stays in whole-stage codegen). The host capture
+    stops at '/', '?' or '#' so a pathless url with a query
+    (http://site.com?id=9) never folds the query into the lowercased host.
+    """
+    from functools import reduce  # noqa: PLC0415
+    from operator import and_  # noqa: PLC0415
+
     no_frag = F.split(url, "#").getItem(0)
-    scheme_host = F.regexp_extract(no_frag, r"^([^/]*//[^/]*)", 1)
+    scheme_host = F.regexp_extract(no_frag, r"^([^/?#]*//[^/?#]*)", 1)
     host = F.regexp_replace(F.lower(scheme_host), r"//www\.", "//")
     rest = F.substring(no_frag, F.length(scheme_host) + 1, F.lit(1 << 30))
     path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1),
@@ -53,10 +62,8 @@ def canonical_url(url: Column) -> Column:
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     kept = F.array_sort(F.filter(
         F.split(query, "&"),
-        lambda p: (p != "")
-        & ~p.startswith(_TRACKING_PREFIXES[0])
-        & ~p.startswith(_TRACKING_PREFIXES[1])
-        & ~p.startswith(_TRACKING_PREFIXES[2]),
+        lambda p: reduce(and_, (~p.startswith(t) for t in _TRACKING_PREFIXES),
+                         p != ""),
     ))
     qpart = F.when(F.size(kept) > 0,
                    F.concat(F.lit("?"), F.array_join(kept, "&"))
@@ -65,6 +72,11 @@ def canonical_url(url: Column) -> Column:
 
 
 def register_queries(register) -> None:
+    # the oracle's tracking filter is generated from the same constant, so
+    # extending _TRACKING_PREFIXES updates both engines together
+    not_tracking_sql = " AND ".join(
+        f"NOT starts_with(p, '{t}')" for t in _TRACKING_PREFIXES)
+
     @register(
         "url_canonicalize",
         oracle=rf"""
@@ -79,7 +91,7 @@ def register_queries(register) -> None:
         ),
         split1 AS (
           SELECT doc_id, nf,
-                 regexp_extract(nf, '^([^/]*//[^/]*)', 1) AS sh
+                 regexp_extract(nf, '^([^/?#]*//[^/?#]*)', 1) AS sh
           FROM parts
         ),
         comps AS (
@@ -95,9 +107,7 @@ def register_queries(register) -> None:
         canon AS (
           SELECT doc_id, host, path,
                  list_sort(list_filter(string_split(query, '&'),
-                     p -> p <> '' AND NOT starts_with(p, 'utm_')
-                          AND NOT starts_with(p, 'fbclid=')
-                          AND NOT starts_with(p, 'gclid='))) AS kept
+                     p -> p <> '' AND {not_tracking_sql})) AS kept
           FROM comps
         )
         SELECT doc_id,

@@ -42,9 +42,12 @@ def write_training_jsonl(chunks: DataFrame, out_dir: str) -> None:
 
 def load_training_dataset(spark: SparkSession, path: str) -> DataFrame:
     """S3: schema-pinned scan of the chunked training JSONL. Pinning the
-    schema skips Spark's sampling inference pass (one read, not two) and
-    fails loudly on drifted files instead of silently widening types."""
-    return spark.read.schema(CHUNKS_SCHEMA).json(path)
+    schema skips Spark's sampling inference pass (one read, not two);
+    FAILFAST makes drifted files raise at read time — the default
+    PERMISSIVE mode would silently null out mistyped fields and feed them
+    into the split/metrics pipeline."""
+    return (spark.read.schema(CHUNKS_SCHEMA)
+            .option("mode", "FAILFAST").json(path))
 
 
 def train_val_split(
@@ -84,9 +87,15 @@ def micro_f1_counters(
 ) -> tuple[F.Column, F.Column, F.Column]:
     """Per-row (tp, pred_pos, true_pos) counter columns over id-sequence
     arrays — the reference's compute_metrics inner loop
-    (finetune...py:562-587) as zip_with/filter HOFs (JVM-side)."""
+    (finetune...py:562-587) as zip_with/filter HOFs (JVM-side). Arrays are
+    truncated to the shorter length first: Python's zip() stops at the
+    shorter sequence, while Spark's zip_with null-pads — padding would
+    inflate true_pos whenever predictions were truncated (e.g. model
+    max-length)."""
+    n = F.least(F.size(F.col(pred_col)), F.size(F.col(label_col)))
     pairs = F.zip_with(
-        F.col(pred_col), F.col(label_col),
+        F.slice(F.col(pred_col), F.lit(1), n),
+        F.slice(F.col(label_col), F.lit(1), n),
         lambda p, y: F.struct(p.alias("p"), y.alias("y")),
     )
     live = F.filter(pairs, lambda s: s.y != ignore_id)

@@ -94,6 +94,12 @@ def test_url_canonicalization_golden(spark):
         ("http://site.com/a?utm_campaign=x&gclid=1", "http://site.com/a"),
         ("http://Site.com/CaseKept", "http://site.com/CaseKept"),
         ("https://www.x.org/p#only-frag", "https://x.org/p"),
+        # pathless url with query: host capture must stop at '?'
+        ("http://site.com?utm_source=x&id=9", "http://site.com?id=9"),
+        # query case must be preserved even when the host lowercases
+        ("HTTP://SITE.COM/p?ID=9", "http://site.com/p?ID=9"),
+        # bare tracking param (no '=') also drops
+        ("http://site.com/p?fbclid&id=1", "http://site.com/p?id=1"),
     ]
     df = spark.createDataFrame(cases, "url string, want string")
     for r in df.select(canonical_url(F.col("url")).alias("got"),

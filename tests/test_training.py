@@ -111,6 +111,27 @@ def test_token_micro_f1_matches_reference_semantics(spark):
     assert got == pytest.approx(want)
 
 
+def test_token_micro_f1_truncates_like_zip(spark):
+    # reference zip() stops at the shorter sequence; zip_with null-padding
+    # would inflate true_pos for truncated predictions
+    seqs = [([1, 0], [1, 2, 3, 3]), ([2, 2, 2], [2])]
+    df = spark.createDataFrame(seqs, "pred array<int>, label array<int>")
+    assert token_micro_f1(df) == pytest.approx(_reference_micro_f1(seqs))
+
+
+def test_load_training_dataset_failfast_on_drift(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "bad")
+    os.makedirs(path)
+    with open(f"{path}/part-0.json", "w") as f:
+        f.write('{"doc_key": "d", "chunk_index": "NOT_AN_INT", '
+                '"char_start": 0, "char_end": 1, "text": "x", '
+                '"entities": "oops", "error": null}\n')
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        load_training_dataset(spark, path).collect()
+
+
 def test_token_micro_f1_empty_and_all_o(spark):
     df = spark.createDataFrame(
         [([0, 0], [0, 0]), ([], [])], "pred array<int>, label array<int>")
