@@ -160,6 +160,85 @@ def register_queries(register) -> None:
         )
 
     @register(
+        "token_top_k",
+        oracle="""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS tok
+          FROM documents
+        ),
+        counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+        SELECT tok, n, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT tok, n,
+                 row_number() OVER (ORDER BY n DESC, tok) AS rk
+          FROM counts
+        ) r WHERE rk <= 20 ORDER BY rk
+        """,
+    )
+    def token_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus-wide heavy hitters (vocabulary/stopword derivation for a
+        training pipeline): explode → hash-groupBy (map-side partial
+        combine) → global top-20 with deterministic tie-break. The shuffle
+        carries (token, partial_count) — bounded by vocabulary size, never
+        corpus size; the final rank touches only the aggregated vocab."""
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        d = _t(spark, sf_dir, "documents")
+        counts = (
+            d.select(F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("n"))
+        )
+        w = Window.orderBy(F.col("n").desc(), "tok")
+        return (
+            counts.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where("rk <= 20").orderBy("rk")
+        )
+
+    @register(
+        "doclen_percentiles",
+        oracle="""
+        WITH ranked AS (
+          SELECT n_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM documents
+        )
+        SELECT CAST(q AS BIGINT) AS q_pct, MIN(n_chars) AS n_chars
+        FROM ranked, (SELECT unnest([25, 50, 75, 95, 99]) AS q) qs
+        WHERE rn = CAST(ceil(q * n / 100.0) AS BIGINT)
+        GROUP BY q ORDER BY q_pct
+        """,
+    )
+    def doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact document-length percentiles (the numbers that size chunk
+        budgets and spill thresholds): discrete percentile = value at rank
+        ceil(q·n/100), i.e. the smallest value whose cumulative count
+        reaches the rank. Scale shape: the raw rows reduce to a
+        (value, count) HISTOGRAM first — the shuffle and the single-
+        partition cumulative window touch only distinct lengths (bounded),
+        never a global sort of the corpus. The oracle ranks rows directly —
+        an independent derivation of the same statistic."""
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        import math  # noqa: PLC0415
+
+        d = _t(spark, sf_dir, "documents").select("n_chars")
+        n = d.count()
+        hist = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+        w = Window.orderBy("n_chars").rowsBetween(
+            Window.unboundedPreceding, 0)
+        cum = hist.withColumn("cum", F.sum("c").over(w))
+        targets = spark.createDataFrame(
+            [(q, math.ceil(q * n / 100.0)) for q in (25, 50, 75, 95, 99)],
+            "q_pct long, rn long")
+        return (
+            cum.join(F.broadcast(targets), F.col("cum") >= F.col("rn"))
+            .groupBy("q_pct").agg(F.min("n_chars").alias("n_chars"))
+            .orderBy("q_pct")
+        )
+
+    @register(
         "eval_binary_confusion",
         oracle="""
         SELECT CAST(SUM(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
