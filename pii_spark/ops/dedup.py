@@ -122,6 +122,51 @@ def _lsh_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(
+    vertices: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(id) vertices + (id_a, id_b) undirected edges → (id, rep) with rep =
+    the component's minimum id — the cluster assignment that turns near-dup
+    PAIRS into "keep one representative per group".
+
+    Iterative min-label propagation: each round, every vertex takes the min
+    of its own label and its neighbors' labels (one join + one groupBy),
+    stopping at fixpoint. Dedup clusters are near-cliques with tiny
+    diameter, so this converges in 2-3 rounds regardless of corpus size;
+    each round's shuffle carries (id, label) pairs only. The driver runs a
+    one-row convergence check per round (an iterative algorithm's inherent
+    control loop, not a data collect); at 100 TB checkpoint the label frame
+    every few rounds to truncate lineage."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = vertices.select(F.col("id"), F.col("id").alias("rep"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst").agg(F.min("rep").alias("nrep"))
+            .withColumnRenamed("dst", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least(F.col("rep"),
+                                  F.coalesce("nrep", "rep")).alias("rep"))
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("rep", "new_rep")
+            .join(labels, "id")
+            .where(F.col("new_rep") < F.col("rep"))
+            .limit(1).count()
+        )
+        labels.unpersist()  # no-op on the initial unpersisted frame
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def register_queries(register) -> None:
     @register(
         "dedup_exact",
@@ -293,6 +338,81 @@ def register_queries(register) -> None:
                      F.floor(jac).cast("long").alias("jac_pm"),
                      (jac >= 500).alias("is_dup"))
             .orderBy("id_a", "id_b")
+        )
+
+    # --- cluster assignment (pairs → keep-one-representative groups) --------
+    @register(
+        "dedup_clusters",
+        oracle=f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL.format(union=_NEAR_UNION)}),
+        sig0 AS (SELECT doc_id, {minhash_aggs_sql} FROM sh GROUP BY doc_id),
+        sigs AS (SELECT doc_id, {band_keys_sql} FROM sig0),
+        bands AS ({bands_union_sql}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+          GROUP BY c.id_a, c.id_b
+        ),
+        dup AS (
+          SELECT id_a, id_b FROM inter
+          JOIN card ca ON ca.doc_id = id_a
+          JOIN card cb ON cb.doc_id = id_b
+          WHERE i * 1000.0 / (ca.n + cb.n - i) >= 500
+        ),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                  UNION ALL SELECT id_b, id_a FROM dup),
+        verts AS (SELECT doc_id AS id FROM ({_NEAR_UNION}) u),
+        comp(id, root) AS (
+          SELECT id, id FROM verts
+          UNION
+          SELECT e.dst, c.root FROM comp c JOIN edges e ON e.src = c.id
+        ),
+        assign AS (SELECT id, MIN(root) AS rep FROM comp GROUP BY id)
+        SELECT rep, COUNT(*) AS n_members, MAX(id) AS max_id
+        FROM assign GROUP BY rep HAVING COUNT(*) > 1 ORDER BY rep
+        """,
+    )
+    def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup CLUSTER assignment — the step after pair detection that
+        decides which copies to keep: verified LSH→Jaccard duplicate pairs
+        feed connected components (iterative min-label propagation), each
+        document gets its component's min id as representative, and
+        non-trivial clusters are summarized. The oracle computes the same
+        components via a recursive CTE (transitive closure + min) — an
+        entirely independent algorithm for the same answer."""
+        u = _near_union_df(spark, sf_dir)
+        sh = _shingles(u)
+        cand = _lsh_candidates(sh)
+        card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a_sh = sh.select(F.col("doc_id").alias("id_a"), "sh")
+        b_sh = sh.select(F.col("doc_id").alias("id_b"), "sh")
+        inter = (
+            cand.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"])
+            .groupBy("id_a", "id_b").agg(F.count("*").alias("i"))
+        )
+        j = (
+            inter.join(card.withColumnRenamed("doc_id", "id_a")
+                       .withColumnRenamed("n", "na"), "id_a")
+            .join(card.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("n", "nb"), "id_b")
+        )
+        jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
+        dup = j.where(jac >= 500).select("id_a", "id_b")
+        verts = u.select(F.col("doc_id").alias("id"))
+        assign = connected_components(verts, dup)
+        return (
+            assign.groupBy("rep")
+            .agg(F.count("*").alias("n_members"), F.max("id").alias("max_id"))
+            .where("n_members > 1")
+            .orderBy("rep")
         )
 
     # --- SimHash -------------------------------------------------------------

@@ -81,6 +81,21 @@ def test_knn_bruteforce_is_exact_topk(spark, sfd):
         assert got[q] == expect, f"query {q}"
 
 
+def test_connected_components_chain_triangle_isolated(spark):
+    from pii_spark.ops.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # triangle 10-11-12, isolated 99
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 12, 99)],
+                                  "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["rep"]
+           for r in connected_components(verts, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
 def test_url_canonicalization_golden(spark):
     from pyspark.sql import functions as F
 
