@@ -163,8 +163,11 @@ def connected_components(
         labels.unpersist()  # no-op on the initial unpersisted frame
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds max_iter (raise it; labels would be "
+        "silently wrong if returned)")
 
 
 def register_queries(register) -> None:
