@@ -142,32 +142,62 @@ def connected_components(
     ).unionByName(pairs.select(
         F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     labels = vertices.select(F.col("id"), F.col("id").alias("rep"))
+    stepped = None
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy("dst").agg(F.min("rep").alias("nrep"))
             .withColumnRenamed("dst", "id")
         )
-        new_labels = (
+        # old and new label in ONE projection: the convergence check below
+        # is a filter on this frame, not an extra corpus-size join per round
+        prev = stepped
+        stepped = (
             labels.join(nbr, "id", "left")
-            .select("id", F.least(F.col("rep"),
-                                  F.coalesce("nrep", "rep")).alias("rep"))
+            .select("id", F.col("rep").alias("old_rep"),
+                    F.least(F.col("rep"),
+                            F.coalesce("nrep", "rep")).alias("rep"))
             .persist()
         )
-        changed = (
-            new_labels.withColumnRenamed("rep", "new_rep")
-            .join(labels, "id")
-            .where(F.col("new_rep") < F.col("rep"))
-            .limit(1).count()
-        )
-        labels.unpersist()  # no-op on the initial unpersisted frame
-        labels = new_labels
+        changed = stepped.where("rep < old_rep").limit(1).count()
+        if prev is not None:
+            prev.unpersist()
+        labels = stepped.select("id", "rep")
         if changed == 0:
-            return labels
+            # self-contained result with truncated lineage, then release the
+            # loop's cache — nothing stays pinned for the session's lifetime
+            out = labels.localCheckpoint(eager=True)
+            stepped.unpersist()
+            return out
+    stepped.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds max_iter (raise it; labels would be "
         "silently wrong if returned)")
+
+
+def _jaccard_on_candidates(sh: DataFrame) -> DataFrame:
+    """(id_a, id_b, jac) — exact Jaccard (×1000, double) computed on LSH
+    candidate pairs ONLY; the shared verify stage behind dedup_lsh_jaccard
+    and dedup_clusters."""
+    cand = _lsh_candidates(sh)
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(card.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n", "na"), "id_a")
+        .join(card.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n", "nb"), "id_b")
+    )
+    jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return j.select("id_a", "id_b", jac.alias("jac"))
 
 
 def register_queries(register) -> None:
@@ -319,27 +349,11 @@ def register_queries(register) -> None:
         shuffles (doc_id, sh) keyed to the candidate sides. Text never moves.
         """
         sh = _shingles(_near_union_df(spark, sf_dir))
-        cand = _lsh_candidates(sh)
-        card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-        a_sh = sh.select(F.col("doc_id").alias("id_a"), "sh")
-        b_sh = sh.select(F.col("doc_id").alias("id_b"), "sh")
-        inter = (
-            cand.join(a_sh, "id_a")
-            .join(b_sh, ["id_b", "sh"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("i"))
-        )
-        j = (
-            inter.join(card.withColumnRenamed("doc_id", "id_a")
-                       .withColumnRenamed("n", "na"), "id_a")
-            .join(card.withColumnRenamed("doc_id", "id_b")
-                  .withColumnRenamed("n", "nb"), "id_b")
-        )
-        jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
+        p = _jaccard_on_candidates(sh)
         return (
-            j.select("id_a", "id_b",
-                     F.floor(jac).cast("long").alias("jac_pm"),
-                     (jac >= 500).alias("is_dup"))
+            p.select("id_a", "id_b",
+                     F.floor(F.col("jac")).cast("long").alias("jac_pm"),
+                     (F.col("jac") >= 500).alias("is_dup"))
             .orderBy("id_a", "id_b")
         )
 
@@ -393,22 +407,8 @@ def register_queries(register) -> None:
         entirely independent algorithm for the same answer."""
         u = _near_union_df(spark, sf_dir)
         sh = _shingles(u)
-        cand = _lsh_candidates(sh)
-        card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-        a_sh = sh.select(F.col("doc_id").alias("id_a"), "sh")
-        b_sh = sh.select(F.col("doc_id").alias("id_b"), "sh")
-        inter = (
-            cand.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"])
-            .groupBy("id_a", "id_b").agg(F.count("*").alias("i"))
-        )
-        j = (
-            inter.join(card.withColumnRenamed("doc_id", "id_a")
-                       .withColumnRenamed("n", "na"), "id_a")
-            .join(card.withColumnRenamed("doc_id", "id_b")
-                  .withColumnRenamed("n", "nb"), "id_b")
-        )
-        jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
-        dup = j.where(jac >= 500).select("id_a", "id_b")
+        dup = _jaccard_on_candidates(sh).where("jac >= 500") \
+            .select("id_a", "id_b")
         verts = u.select(F.col("doc_id").alias("id"))
         assign = connected_components(verts, dup)
         return (

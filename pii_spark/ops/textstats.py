@@ -178,9 +178,10 @@ def register_queries(register) -> None:
     def token_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Corpus-wide heavy hitters (vocabulary/stopword derivation for a
         training pipeline): explode → hash-groupBy (map-side partial
-        combine) → global top-20 with deterministic tie-break. The shuffle
-        carries (token, partial_count) — bounded by vocabulary size, never
-        corpus size; the final rank touches only the aggregated vocab."""
+        combine) → orderBy+limit, which Catalyst compiles to
+        TakeOrderedAndProject (per-partition top-20 merged on the driver —
+        the full vocabulary is NEVER sorted in one partition). The rank
+        window then runs over the 20 surviving rows only."""
         from pyspark.sql import Window  # noqa: PLC0415
 
         d = _t(spark, sf_dir, "documents")
@@ -189,10 +190,11 @@ def register_queries(register) -> None:
                 F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"))
             .groupBy("tok").agg(F.count("*").alias("n"))
         )
+        top = counts.orderBy(F.col("n").desc(), "tok").limit(20)
         w = Window.orderBy(F.col("n").desc(), "tok")
         return (
-            counts.withColumn("rk", F.row_number().over(w).cast("long"))
-            .where("rk <= 20").orderBy("rk")
+            top.withColumn("rk", F.row_number().over(w).cast("long"))
+            .orderBy("rk")
         )
 
     @register(
