@@ -112,24 +112,27 @@ def main() -> int:
     pages_path, _ = _pages_parquet(spark, sf)
     spark.read.parquet(pages_path).count()  # warm FS cache / JIT
 
-    # best-of-2 per item: this shared VM's hypervisor steal makes single
-    # timings swing 2x run-to-run; the min of two passes tracks the engine,
-    # not the neighbors.
+    # median-of-3 per item (ADVICE r2): same methodology as the scaling
+    # pairs — this shared VM's hypervisor steal makes single timings swing
+    # 2x run-to-run; the median tracks the engine, not the neighbors.
+    import statistics
+
     queries: dict[str, float] = {}
-    ext_runs = [_run_extraction(spark, pages_path) for _ in range(2)]
-    ext = min(ext_runs, key=lambda r: r["sec"])
+    ext_runs = [_run_extraction(spark, pages_path) for _ in range(3)]
+    ext_med = statistics.median(r["sec"] for r in ext_runs)
+    ext = min(ext_runs, key=lambda r: abs(r["sec"] - ext_med))
     queries["extract_pipeline"] = round(ext["sec"], 3)
 
     from pii_spark.queries import QUERIES
 
     for name in HEADLINE_QUERIES:
-        best = float("inf")
-        for _ in range(2):
+        times = []
+        for _ in range(3):
             t0 = time.time()
             df = QUERIES[name](spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        queries[name] = round(best, 3)
+            times.append(time.time() - t0)
+        queries[name] = round(statistics.median(times), 3)
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -232,8 +235,12 @@ def scaling(sf_dir: str, sf: float, repeats: int = 3) -> int:
     hist = [json.loads(line) for line in open("BENCH/scaling_runs.jsonl")]
     effs_a = sorted(h["eff_a"] for h in hist)
     effs_b = sorted(h["eff_b"] for h in hist)
+    effs_ctrl = sorted(h["eff_mp_control"] for h in hist
+                       if "eff_mp_control" in h)
     med_a = statistics.median(effs_a)
     med_b = statistics.median(effs_b)
+    med_ctrl = statistics.median(effs_ctrl)
+    med_tput = statistics.median(h["docs_per_sec_32c"] for h in hist)
     peak = max(hist, key=lambda h: h["docs_per_sec_32c"])
 
     with open("BENCH/BASELINE.md", "w") as f:
@@ -278,27 +285,32 @@ speedup {b8['sec'] / b32['sec']:.2f}x, efficiency **{eff_b:.3f}**,
    core-equivalents, varying with neighbor activity. At <=8 busy cores steal
    is usually ~0 — but bursts hit any load level (the run-to-run variance
    above).
-2. **No-Spark control.** The identical extraction code under plain
-   ``multiprocessing`` (no JVM, no shuffle, no Arrow) at 8 vs 32 processes
-   measures efficiency **{ctrl['eff']:.3f}** this invocation
-   ({ctrl['t8']:.1f}s -> {ctrl['t32']:.1f}s) — the same ceiling with no
-   framework at all. Spark's best pair-B runs match or exceed the control:
-   the engine adds no measurable scaling overhead.
+2. **No-Spark control, paired medians.** The identical extraction code
+   under plain ``multiprocessing`` (no JVM, no shuffle, no Arrow) at 8 vs
+   32 processes runs in EVERY ``--scaling`` invocation and is recorded
+   beside the Spark numbers. Across the {len(effs_ctrl)} recorded
+   invocations: control efficiency
+   {", ".join(f"{e:.3f}" for e in effs_ctrl)} — **median {med_ctrl:.3f}**,
+   vs Spark pair-B **median {med_b:.3f}** ({med_b / med_ctrl:.0%} of the
+   no-framework ceiling; this invocation: control {ctrl['eff']:.3f},
+   {ctrl['t8']:.1f}s -> {ctrl['t32']:.1f}s). The box, not the engine, caps
+   8->32 scaling at ~{med_ctrl:.2f}; Spark lands close to that ceiling.
 
 Pair A runs far below the single-box saturation point and is the faithful
 sandbox proxy for the north rule's N->4N *executor* scaling — on a real
 cluster, 4N executors arrive as new NODES, each bringing its own memory
 bandwidth and unshared cores, the regime pair A models.
 
-## Peak measured throughput
+## Measured throughput (32 cores, raw html)
 
-Best recorded: **{peak['docs_per_sec_32c']:.0f} docs/sec,
-{peak['mb_per_sec_32c']:.2f} MB/sec** raw html on 32 cores. This
-invocation: {b32['docs_per_sec']:.0f} docs/sec ({b32['docs']} docs,
-{b32['spans']} spans, {b32['in_mb']:.1f} MB input). Single-core pii_core
-rate ~286 docs/sec vs the reference's BERT pipeline at a few docs/sec per
-CPU core — the engine exceeds reference single-node throughput by ~2 orders
-of magnitude while adding the HTML-strip stage.
+Median across invocations: **{med_tput:.0f} docs/sec**; max recorded (a
+peak, labeled as such): {peak['docs_per_sec_32c']:.0f} docs/sec /
+{peak['mb_per_sec_32c']:.2f} MB/sec. This invocation:
+{b32['docs_per_sec']:.0f} docs/sec ({b32['docs']} docs, {b32['spans']}
+spans, {b32['in_mb']:.1f} MB input). Single-core pii_core rate ~286
+docs/sec vs the reference's BERT pipeline at a few docs/sec per CPU core —
+the engine exceeds reference single-node throughput by ~2 orders of
+magnitude while adding the HTML-strip stage.
 
 Reproduce: `python bench.py --scaling` (appends an invocation to
 BENCH/scaling_runs.jsonl and regenerates this file from the full history;

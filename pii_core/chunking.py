@@ -237,6 +237,25 @@ def build_chunks(
                 # Start the next window one token earlier than this end so
                 # the word-start backup there cannot open a coverage gap.
                 next_start = max(start_tok + 1, end_tok - 1)
+                if next_start == end_tok and end_tok < n:
+                    # Degenerate single-token window: the next chunk starts
+                    # AT end_tok, so inter-token separators must be covered
+                    # here or the no-gap invariant silently breaks. Extend
+                    # char_end to the next token's start; fail loudly if the
+                    # extension re-tokenizes over budget (byte-level
+                    # whitespace costs) rather than leaving a gap.
+                    ext = _extend_over_separators(
+                        text, char_end, offsets[end_tok][0])
+                    if ext > char_end:
+                        if tokenizer.encoded_len_with_specials(
+                                text[char_start:ext]) > max_length:
+                            raise RuntimeError(
+                                f"hard-split degenerated to a single token "
+                                f"at start_tok={start_tok} and the "
+                                f"separator extension exceeds "
+                                f"max_length={max_length}; cannot keep the "
+                                f"no-gap invariant")
+                        char_end = ext
                 break
             end_tok -= 1
             char_end = _char_end_for(end_tok)

@@ -77,6 +77,33 @@ class ExtractConfig:
     model_path: str | None = None
     model_device: str = "cpu"
 
+    def __post_init__(self) -> None:
+        # Eager validation: a bad config must fail at CONSTRUCTION (driver /
+        # submit time), not minutes later inside an executor UDF. Mirrors
+        # the chunker's runtime checks (chunking.py) plus enum fields.
+        if self.max_length <= 8:
+            raise ValueError(f"max_length too small: {self.max_length}")
+        budget = int(self.max_length) - 2  # WordTokenizer-style 2 specials
+        if not (0 <= self.stride < budget):
+            raise ValueError(
+                f"stride must satisfy 0 <= stride < max_length - 2 = "
+                f"{budget}; got {self.stride}")
+        if self.boundary_backoff < 0:
+            raise ValueError(
+                f"boundary_backoff must be >= 0, got {self.boundary_backoff}")
+        if self.batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {self.batch_size}")
+        if self.tokenizer_piece_len < 1:
+            raise ValueError(
+                f"tokenizer_piece_len must be >= 1, got "
+                f"{self.tokenizer_piece_len}")
+        if self.decode not in ("bio_viterbi", "argmax"):
+            raise ValueError(f"unknown decode mode: {self.decode!r}")
+        if self.aggregate not in ("mean_logits", "none"):
+            raise ValueError(f"unknown aggregate mode: {self.aggregate!r}")
+        if self.conf_agg not in ("mean", "min"):
+            raise ValueError(f"unknown conf_agg: {self.conf_agg!r}")
+
     def make_tokenizer(self) -> WordTokenizer:
         return WordTokenizer(piece_len=self.tokenizer_piece_len)
 

@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 _N_PERM = 8  # minhash permutations
 _BAND = 2    # rows per band -> 4 bands
 
+# Hard ceiling for the exact all-pairs Jaccard verification variant: above
+# this the shared-shingle self-join is a scale footgun (quadratic on hot
+# shingles) and callers must use dedup_lsh_jaccard instead.
+JACCARD_EXACT_MAX_DOCS = 200_000
+
 # dialect-shared duplicate injection: every 10th doc gets an exact copy
 # (id + 1000000), every 25th a near-copy with a suffix (id + 2000000).
 _EXACT_UNION = """
@@ -257,9 +262,9 @@ def register_queries(register) -> None:
         sh = _shingles(_near_union_df(spark, sf_dir))
         return _lsh_candidates(sh).orderBy("id_a", "id_b")
 
-    # --- n-gram Jaccard ----------------------------------------------------
+    # --- n-gram Jaccard (exact, SMALL-SCALE verification variant) ----------
     @register(
-        "dedup_jaccard",
+        "dedup_jaccard_exact_smallscale",
         oracle=f"""
         WITH sh AS ({_SHINGLES_SQL.format(union=_NEAR_UNION)}),
         card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -277,13 +282,30 @@ def register_queries(register) -> None:
         ORDER BY id_a, id_b
         """,
     )
-    def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """n-gram Jaccard near-dup: shared-shingle self-join → intersection
-        counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.5, emitted as floored
-        per-mille. At web scale the pair join runs only over LSH candidates
-        (previous query) — here the corpus slice is small enough to verify
-        the exact variant directly."""
-        sh = _shingles(_near_union_df(spark, sf_dir))
+    def dedup_jaccard_exact_smallscale(
+            spark: SparkSession, sf_dir: str) -> DataFrame:
+        """n-gram Jaccard near-dup, EXACT ALL-PAIRS variant: shared-shingle
+        self-join → intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.5,
+        emitted as floored per-mille.
+
+        Deliberately small-scale: the shared-shingle self-join is quadratic
+        on hot shingles, so this plan dies if run corpus-wide at web scale.
+        It exists to pin the exact answer the production composition
+        (``dedup_lsh_jaccard``: LSH candidates → exact Jaccard on candidate
+        pairs only) must agree with on verification slices. The name and the
+        ``JACCARD_EXACT_MAX_DOCS`` guard below make that contract part of
+        the API, not just this docstring."""
+        docs = _near_union_df(spark, sf_dir)
+        n_docs = docs.count()
+        if n_docs > JACCARD_EXACT_MAX_DOCS:
+            raise ValueError(
+                f"dedup_jaccard_exact_smallscale: corpus has {n_docs} docs "
+                f"(> {JACCARD_EXACT_MAX_DOCS}); the all-pairs shared-shingle "
+                "join is quadratic on hot shingles and must not run at this "
+                "scale — use dedup_lsh_jaccard (LSH-pruned exact Jaccard) "
+                "or raise pii_spark.ops.dedup.JACCARD_EXACT_MAX_DOCS if you "
+                "really mean it")
+        sh = _shingles(docs)
         card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (

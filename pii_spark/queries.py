@@ -108,54 +108,49 @@ def _cnpj_is_valid_sql(col: str) -> str:
 
 
 @register(
-    "cpf_checksum",
+    "checksum_validate",
     oracle=f"""
-    SELECT lang,
-           CAST(SUM(CASE WHEN {_cpf_is_valid_sql('cand')} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
-           CAST(SUM(CASE WHEN {_cpf_is_valid_sql('cand')} THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
-    FROM (SELECT lang, {sf.cpf_candidate_sql()} AS cand FROM documents) c
-    GROUP BY lang ORDER BY lang
-    """,
-)
-def cpf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CPF mod-11 checksum validation over Arrow batches (north rule):
-    Spark validates with pii_core.cpf_checksum_ok in a vectorized pandas
-    UDF; the oracle re-derives mod-11 independently in SQL."""
-    from pii_core.detectors import cpf_checksum_ok
-
-    ok = checksum_udf(cpf_checksum_ok)
-
-    d = _t(spark, sf_dir, "documents").select(
-        "lang", F.expr(sf.cpf_candidate_sql()).alias("cand"))
-    return (
-        d.withColumn("v", ok("cand"))
-        .groupBy("lang")
-        .agg(F.sum(F.col("v").cast("long")).alias("n_valid"),
-             F.sum((~F.col("v")).cast("long")).alias("n_invalid"))
-        .orderBy("lang")
-    )
-
-
-@register(
-    "cnpj_checksum",
-    oracle=f"""
-    SELECT CAST(SUM(CASE WHEN {_cnpj_is_valid_sql('cand')} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
-           CAST(SUM(CASE WHEN {_cnpj_is_valid_sql('cand')} THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+    SELECT kind, lang,
+           CAST(SUM(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN v THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
            COUNT(*) AS n_total
-    FROM (SELECT {sf.cnpj_candidate_sql()} AS cand FROM documents) c
+    FROM (
+      SELECT 'cnpj' AS kind, lang, {_cnpj_is_valid_sql('cand')} AS v
+      FROM (SELECT lang, {sf.cnpj_candidate_sql()} AS cand FROM documents) a
+      UNION ALL
+      SELECT 'cpf' AS kind, lang, {_cpf_is_valid_sql('cand')} AS v
+      FROM (SELECT lang, {sf.cpf_candidate_sql()} AS cand FROM documents) b
+    ) u GROUP BY kind, lang ORDER BY kind, lang
     """,
 )
-def cnpj_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pii_core.detectors import cnpj_checksum_ok
+def checksum_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPF mod-11 AND CNPJ digit-verification checksums over Arrow batches
+    (north rule: no per-row Python): Spark validates with
+    pii_core.detectors.{cpf,cnpj}_checksum_ok in vectorized pandas UDFs;
+    the oracle re-derives both checksum algebras independently in SQL.
+    (Merged from the round-2 ``cpf_checksum`` + ``cnpj_checksum`` entries —
+    same evidence, one registry slot; the driver reports at most 50 rows.)"""
+    from pii_core.detectors import cnpj_checksum_ok, cpf_checksum_ok
 
-    ok = checksum_udf(cnpj_checksum_ok)
+    ok_cpf = checksum_udf(cpf_checksum_ok)
+    ok_cnpj = checksum_udf(cnpj_checksum_ok)
 
     d = _t(spark, sf_dir, "documents").select(
-        F.expr(sf.cnpj_candidate_sql()).alias("cand"))
-    return d.withColumn("v", ok("cand")).agg(
-        F.sum(F.col("v").cast("long")).alias("n_valid"),
-        F.sum((~F.col("v")).cast("long")).alias("n_invalid"),
-        F.count("*").alias("n_total"),
+        "lang",
+        F.expr(sf.cpf_candidate_sql()).alias("cpf_cand"),
+        F.expr(sf.cnpj_candidate_sql()).alias("cnpj_cand"),
+    )
+    cpf = d.select("lang", F.lit("cpf").alias("kind"),
+                   ok_cpf("cpf_cand").alias("v"))
+    cnpj = d.select("lang", F.lit("cnpj").alias("kind"),
+                    ok_cnpj("cnpj_cand").alias("v"))
+    return (
+        cpf.unionByName(cnpj)
+        .groupBy("kind", "lang")
+        .agg(F.sum(F.col("v").cast("long")).alias("n_valid"),
+             F.sum((~F.col("v")).cast("long")).alias("n_invalid"),
+             F.count("*").alias("n_total"))
+        .orderBy("kind", "lang")
     )
 
 
@@ -950,48 +945,7 @@ def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "distinct_values_by_label",
-    oracle=f"""
-    SELECT label, CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
-           MIN(value) AS min_value, MAX(value) AS max_value
-    FROM (
-      SELECT 'CONTATO' AS label,
-             unnest(regexp_extract_all(aug, '{sf.EMAIL_PAT}')) AS value
-      FROM {_AUG_FROM}
-      UNION ALL
-      SELECT 'DOC_PESSOAL' AS label, {sf.cpf_candidate_sql()} AS value
-      FROM documents
-    ) v GROUP BY label ORDER BY label
-    """,
-)
-def distinct_values_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct values per label (reference A8, pii_value_review.py:174-224)
-    as groupBy + countDistinct with min/max order witnesses."""
-    d = _aug_docs(spark, sf_dir)
-    emails = d.select(
-        F.lit("CONTATO").alias("label"),
-        F.explode(
-            F.regexp_extract_all(F.col("aug"), F.lit(sf.EMAIL_PAT), F.lit(0))
-        ).alias("value"),
-    )
-    cpfs = _t(spark, sf_dir, "documents").select(
-        F.lit("DOC_PESSOAL").alias("label"),
-        F.expr(sf.cpf_candidate_sql()).alias("value"),
-    )
-    return (
-        emails.unionByName(cpfs)
-        .groupBy("label")
-        .agg(
-            F.countDistinct("value").alias("n_distinct"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .orderBy("label")
-    )
-
-
-@register(
-    "distinct_values_first_seen",
+    "distinct_values_report",
     oracle=f"""
     WITH ev AS (
       SELECT doc_id,
@@ -1011,23 +965,34 @@ def distinct_values_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(doc_id * 100000 + pos) AS fk
       FROM v GROUP BY label, value
     ),
+    stats AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM firsts GROUP BY label
+    ),
     ranked AS (
       SELECT label, value,
              row_number() OVER (PARTITION BY label ORDER BY fk, value) AS rn
       FROM firsts
     )
-    SELECT label, CAST(rn AS BIGINT) AS rn, value
-    FROM ranked WHERE rn <= 10 ORDER BY label, rn
+    SELECT r.label, CAST(rn AS BIGINT) AS rn, value,
+           n_distinct, min_value, max_value
+    FROM ranked r JOIN stats s USING (label)
+    WHERE rn <= 10 ORDER BY label, rn
     """,
 )
-def distinct_values_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct values per label in FIRST-SEEN order (reference A8,
+def distinct_values_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct values per label in FIRST-SEEN order, with per-label
+    distinct counts and min/max witnesses (reference A8,
     pii_value_review.py:174-224: values appended on first appearance in
     dataset row order). The distributed analogue of "file order" is
     (doc_id, within-doc position): each (label, value) takes the MIN of that
-    composite key, then a per-label rank yields the first 10. At scale the
-    rank would be pruned two-phase like evaljob.error_bucket_samples; the
-    groupBy shuffles (label, value, fk) only — never text."""
+    composite key, then a per-label rank yields the first 10; per-label
+    stats ride along on a broadcast-sized join. At scale the rank would be
+    pruned two-phase like evaljob.error_bucket_samples; the groupBy shuffles
+    (label, value, fk) only — never text. (Merged from the round-2
+    ``distinct_values_by_label`` + ``distinct_values_first_seen`` entries —
+    same evidence, one registry slot; the driver reports at most 50 rows.)"""
     from pyspark.sql import Window  # noqa: PLC0415
 
     d = _aug_docs(spark, sf_dir)
@@ -1050,11 +1015,20 @@ def distinct_values_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "value")
         .agg(F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("fk"))
     )
+    stats = firsts.groupBy("label").agg(
+        F.count("*").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
     w = Window.partitionBy("label").orderBy("fk", "value")
-    return (
+    top = (
         firsts.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 10)
-        .select("label", F.col("rn").cast("long").alias("rn"), "value")
+    )
+    return (
+        top.join(F.broadcast(stats), "label")
+        .select("label", F.col("rn").cast("long").alias("rn"), "value",
+                "n_distinct", "min_value", "max_value")
         .orderBy("label", "rn")
     )
 
@@ -1236,3 +1210,35 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .orderBy("lang")
     )
+
+
+# =========================================================================
+# Driver-report enumeration contract
+# =========================================================================
+# The round-2 driver recorded at most 50 correctness rows, in registry
+# insertion order: CORRECTNESS_r02.json held exactly the first 50 of the 52
+# registered queries, dropping the last two (`build_dataset`,
+# `curation_pipeline`). Two defenses:
+#   1. the registry is consolidated to <= 50 entries (cpf/cnpj checksums and
+#      the two A8 distinct-values variants each merged into one query with
+#      identical evidence), enforced below;
+#   2. enumeration order is made explicit and the two formerly-dropped
+#      queries are moved to the front half, so even a tighter cap or a
+#      per-query-timeout truncation cannot silently drop them again.
+
+_DRIVER_ROW_CAP = 50
+_FRONT = [
+    "detector_counts", "checksum_validate", "should_be_public",
+    "build_dataset", "curation_pipeline", "pii_extract_pages",
+]
+_missing = [n for n in _FRONT if n not in QUERIES]
+if _missing:  # fail at import, not in the driver
+    raise RuntimeError(f"registry front-order names missing: {_missing}")
+if len(QUERIES) > _DRIVER_ROW_CAP:
+    raise RuntimeError(
+        f"{len(QUERIES)} queries registered; the driver reports at most "
+        f"{_DRIVER_ROW_CAP} correctness rows — consolidate (merge evidence "
+        "into an existing entry) instead of exceeding the cap")
+_ordered = _FRONT + [n for n in QUERIES if n not in _FRONT]
+QUERIES = {n: QUERIES[n] for n in _ordered}
+ORACLES = {n: ORACLES[n] for n in _ordered if n in ORACLES}

@@ -78,6 +78,16 @@ def windowed_pii_stream(
     stays bounded: closed windows are evicted, and rows arriving later than
     the watermark are dropped by contract.
 
+    One-shot caveat (ADVICE r2): this combines ``append`` mode with
+    ``trigger(availableNow=True)``, so an invocation that exhausts the input
+    does NOT emit windows whose end the watermark has not yet passed — the
+    most recent (still-open) rollup windows land on the NEXT invocation,
+    once later data advances the watermark. That is the append-mode
+    contract, not data loss: the rows are retained in checkpointed state.
+    ``update`` output mode would emit provisional rows per trigger instead,
+    but the parquet file sink is append-only — switching requires a
+    sink that tolerates rewrites (e.g. foreachBatch upsert).
+
     warc_ts rides through the extraction UDF as a passthrough column — no
     stream-stream re-join against the input needed.
     """

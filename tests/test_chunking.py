@@ -132,6 +132,37 @@ def test_hard_split_mixed_content_and_default_equivalence():
     assert joined_cover
 
 
+def test_hard_split_single_token_window_covers_separators():
+    # ADVICE r2 (chunking.py hard-split recovery): with a char-costing
+    # re-tokenizer (byte-level-BPE-style), a window can shrink until
+    # end_tok == start_tok + 1 — a single token, so next_start == end_tok.
+    # The separator BETWEEN that token and the next must then be covered by
+    # the current chunk or the no-gap invariant silently breaks
+    # (next.char_start > prev.char_end).
+    class CharCost(WordTokenizer):
+        def encoded_len_with_specials(self, text):
+            return len(text) + self.num_special_tokens
+
+    tok = CharCost(piece_len=6)
+    # a 54-char run (9 pieces of 6; any two adjacent pieces bust the 9-char
+    # budget -> every mid-run hard window is a single token), then a
+    # 1-char separator ahead of a normal word
+    text = "a" * 54 + " bbbbbb"
+    chunks = build_chunks(text, tok, max_length=9, stride=0, hard_split=True)
+    assert chunks[-1].char_end == len(text)
+    for ch in chunks:
+        assert tok.encoded_len_with_specials(ch.text) <= 9
+        assert ch.text == text[ch.char_start:ch.char_end]
+    for p, nx in zip(chunks, chunks[1:]):
+        assert nx.char_start <= p.char_end, (p, nx)   # the no-gap invariant
+        assert nx.char_start >= p.char_start
+    # when the separator extension itself cannot fit the budget, the chunker
+    # must fail loudly rather than silently emit a gapped chunking
+    with pytest.raises(RuntimeError, match="no-gap"):
+        build_chunks("a" * 54 + "    bbbbbb", tok, max_length=9, stride=0,
+                     hard_split=True)
+
+
 def test_hard_split_via_pipeline_extracts_after_blob():
     from pii_core.pipeline import ExtractConfig, extract_page
 

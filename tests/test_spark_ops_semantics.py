@@ -38,12 +38,26 @@ def test_minhash_lsh_recall_on_near_dups(spark, sfd):
 
 
 def test_jaccard_scores_near_dups_high(spark, sfd):
+    q = QUERIES["dedup_jaccard_exact_smallscale"]
     rows = {(r["id_a"], r["id_b"]): r["jac_pm"]
-            for r in QUERIES["dedup_jaccard"](spark, sfd).collect()}
+            for r in q(spark, sfd).collect()}
     n = min(_docs_count(spark, sfd), 200)
     for i in range(0, n, 25):
         jac = rows.get((i, i + 2000000))
         assert jac is not None and jac >= 500
+
+
+def test_jaccard_exact_guard_refuses_large_corpus(spark, sfd, monkeypatch):
+    """The all-pairs exact variant is gated: above JACCARD_EXACT_MAX_DOCS it
+    must refuse with a pointer at the LSH-pruned composition instead of
+    launching a quadratic shared-shingle join."""
+    import pytest
+
+    from pii_spark.ops import dedup
+
+    monkeypatch.setattr(dedup, "JACCARD_EXACT_MAX_DOCS", 1)
+    with pytest.raises(ValueError, match="dedup_lsh_jaccard"):
+        QUERIES["dedup_jaccard_exact_smallscale"](spark, sfd)
 
 
 def test_simhash_identical_for_exact_dups(spark, sfd):
@@ -115,6 +129,18 @@ def test_url_canonicalization_golden(spark):
         ("HTTP://SITE.COM/p?ID=9", "http://site.com/p?ID=9"),
         # bare tracking param (no '=') also drops
         ("http://site.com/p?fbclid&id=1", "http://site.com/p?id=1"),
+        # NAME-PREFIX-ONLY semantics, pinned: a param whose name merely
+        # starts with a tracking prefix drops (gclid_src, fbclid2, utm_foo),
+        # while a name that only CONTAINS one survives (xgclid, adgclid) —
+        # values are never inspected.
+        ("http://site.com/p?gclid_src=1&id=1", "http://site.com/p?id=1"),
+        ("http://site.com/p?fbclid2=1&id=1", "http://site.com/p?id=1"),
+        ("http://site.com/p?utm_foo=1&id=1", "http://site.com/p?id=1"),
+        ("http://site.com/p?xgclid=1&id=1",
+         "http://site.com/p?id=1&xgclid=1"),
+        ("http://site.com/p?adgclid=1", "http://site.com/p?adgclid=1"),
+        # a tracking NAME as a VALUE is kept (names only are filtered)
+        ("http://site.com/p?next=gclid", "http://site.com/p?next=gclid"),
     ]
     df = spark.createDataFrame(cases, "url string, want string")
     for r in df.select(canonical_url(F.col("url")).alias("got"),
