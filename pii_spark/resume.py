@@ -12,17 +12,39 @@ plain parquet because no Iceberg runtime jar ships in this container):
   side table in the same transaction scope, so a run is replayable and
   auditable partition-by-partition.
 
+The parquet emulation reproduces the atomicity with a PER-RUN COMMIT MARKER
+(the sandbox stand-in for an Iceberg snapshot):
+
+1. ``<results_dir>/_commits/<run_id>.reserved`` is created with O_CREAT|O_EXCL
+   BEFORE anything is written — two concurrent submissions under the same
+   run_id cannot both pass (the round-2 check-then-write race is closed at
+   the filesystem, not by a read-then-act probe).
+2. results append under ``run_id=<id>/`` hive partitions (one extraction
+   pass — the write is the only action), then lineage derives from the
+   COMMITTED files and appends.
+3. ``<run_id>.committed`` lands last via write-to-temp + atomic rename.
+   The marker IS the commit: every reader (``committed_urls``,
+   ``lineage_summary``, the next increment's anti-join) filters to marked
+   runs, so a crash at ANY earlier point leaves the run invisible — no
+   double-counts, no orphan lineage in any rollup, nothing to repair before
+   the next increment runs. ``adopt_crashed_runs`` can salvage a crashed
+   increment's landed results instead of re-extracting them; ``vacuum
+   _uncommitted`` deletes them instead.
+
 The anti-join is a shuffle on ``url`` only when the committed side is large;
 for typical incremental runs the committed-urls projection is a single
 column that AQE plans as a broadcast. At 100 TB the committed side is read
 column-pruned to ``url`` (an Iceberg/parquet scan of one dictionary-encoded
 string column), which is why the anti-join stays cheap even at 10^12 rows —
-never ``collect()`` it.
+never ``collect()`` it. The marker directory holds two tiny files per
+increment (not per partition, not per document), so listing it is O(runs).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,13 +67,67 @@ def _committed_schema():
     )
 
 
+def _commits_dir(results_dir: str) -> str:
+    # underscore prefix: invisible to Spark's parquet reader AND to _exists
+    return os.path.join(results_dir, "_commits")
+
+
+def _marker_path(results_dir: str, run_id: str) -> str:
+    return os.path.join(_commits_dir(results_dir), f"{run_id}.committed")
+
+
+def committed_run_ids(results_dir: str) -> list[str]:
+    """Run ids whose commit marker landed — the only runs readers see."""
+    d = _commits_dir(results_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f[: -len(".committed")] for f in os.listdir(d)
+                  if f.endswith(".committed"))
+
+
+def _reserve(results_dir: str, run_id: str) -> None:
+    """Atomically claim ``run_id`` (O_CREAT|O_EXCL) before any write."""
+    d = _commits_dir(results_dir)
+    os.makedirs(d, exist_ok=True)
+    if os.path.exists(_marker_path(results_dir, run_id)):
+        raise ValueError(
+            f"run_id {run_id!r} already committed; use a fresh run_id per "
+            "increment")
+    try:
+        fd = os.open(os.path.join(d, f"{run_id}.reserved"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(
+            f"run_id {run_id!r} is reserved by a concurrent or crashed "
+            "increment; use a fresh run_id (adopt_crashed_runs salvages a "
+            "crashed run's landed results, vacuum_uncommitted discards "
+            "them)") from None
+    os.close(fd)
+
+
+def _write_marker(results_dir: str, run_id: str, docs: int) -> None:
+    """Atomic commit point: temp file + rename (POSIX-atomic within the
+    directory). Everything before this is invisible to readers."""
+    path = _marker_path(results_dir, run_id)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"run_id": run_id, "docs": int(docs)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
 def committed_urls(spark: SparkSession, results_dir: str) -> DataFrame | None:
-    """Column-pruned projection of already-committed urls, or None if the
-    target holds no data yet (first run)."""
-    if not _exists(results_dir):
+    """Column-pruned projection of already-committed urls (MARKED runs
+    only), or None if nothing is committed yet (first run)."""
+    rids = committed_run_ids(results_dir)
+    if not rids or not _exists(results_dir):
         return None
-    return spark.read.schema(_committed_schema()).parquet(
-        results_dir).select("url")
+    return (
+        spark.read.schema(_committed_schema()).parquet(results_dir)
+        .where(F.col("run_id").isin(rids))
+        .select("url")
+    )
 
 
 def run_incremental(
@@ -64,37 +140,29 @@ def run_incremental(
     num_partitions: int | None = None,
 ) -> dict:
     """One resumable increment: anti-join committed urls, extract the
-    remainder, commit results, derive lineage FROM the committed files.
+    remainder, commit results + lineage, then write the commit marker.
     Returns counters for the run.
 
-    Commit protocol (crash-safe, never double-counts):
-    1. Results land first, hive-partitioned by run_id. The write is the ONLY
+    Commit protocol (atomic at the marker, never double-counts):
+    1. Reserve the run_id (O_EXCL — concurrent duplicates lose the race).
+    2. Results land hive-partitioned by run_id. The write is the ONLY
        action that executes the extraction UDF — exactly one pass, no
        persist() needed and no re-extraction under cache eviction.
-    2. Lineage derives from the COMMITTED parquet, partition-pruned to this
-       run_id, so a lineage row can never describe a document that failed to
-       land.
-    A crash between (1) and (2) leaves a run with results but no lineage;
-    the next increment's anti-join still skips its urls (no re-extraction),
-    and ``backfill_lineage`` repairs the gap from the committed files.
+    3. Lineage derives from the COMMITTED parquet, partition-pruned to this
+       run_id, so a lineage row can never describe a document that failed
+       to land.
+    4. The commit marker lands LAST (temp + atomic rename). A crash before
+       it leaves the run unmarked: readers and the next increment's
+       anti-join ignore it completely — its urls re-extract under the next
+       run_id, its lineage rows never surface in ``lineage_summary``, and
+       no repair step is required. ``adopt_crashed_runs`` may instead
+       salvage the landed results.
 
     ``run_id`` must be FRESH per increment — it names this run's results
-    partition and lineage rows, so reusing one would make both ambiguous
-    (docs/lineage would cover every increment sharing the id). A reused id
-    raises before anything is written; after a crash, repair the old run
-    with ``backfill_lineage`` and retry under a new id.
+    partition and lineage rows, so reusing one would make both ambiguous.
     """
     run_id = str(run_id)
-    if _exists(results_dir):
-        prior = (
-            spark.read.schema(_committed_schema()).parquet(results_dir)
-            .where(F.col("run_id") == run_id).limit(1).count()
-        )
-        if prior:
-            raise ValueError(
-                f"run_id {run_id!r} already has committed results; use a "
-                "fresh run_id per increment (backfill_lineage repairs a "
-                "crashed run's missing lineage)")
+    _reserve(results_dir, run_id)
 
     done = committed_urls(spark, results_dir)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
@@ -105,6 +173,7 @@ def run_incremental(
         .write.mode("append").partitionBy("run_id").parquet(results_dir)
     )
     if not _exists(results_dir):  # first run over an empty input
+        _write_marker(results_dir, run_id, 0)
         return {"run_id": run_id, "docs": 0}
     committed = spark.read.schema(_committed_schema()).parquet(
         results_dir).where(F.col("run_id") == run_id)
@@ -112,35 +181,96 @@ def run_incremental(
     if n:
         lineage = lineage_from_results(committed, run_id)
         lineage.write.mode("append").parquet(lineage_dir)
+    _write_marker(results_dir, run_id, n)
     return {"run_id": run_id, "docs": n}
 
 
-def backfill_lineage(
+def adopt_crashed_runs(
     spark: SparkSession, results_dir: str, lineage_dir: str
 ) -> list[str]:
-    """Repair lineage for runs whose results committed but whose lineage
-    write was lost (crash between the two writes in ``run_incremental``).
-    Recomputes the missing runs' lineage from the committed results
-    partitions — the committed files are the source of truth, so the
-    backfilled counters are exactly what the crashed run would have written.
-    Returns the repaired run ids (the run-id list is tiny — one per job)."""
-    if not _exists(results_dir):
+    """Salvage crashed increments instead of re-extracting their pages.
+
+    A crash anywhere between the results write and the marker leaves a
+    reserved-but-unmarked run whose landed results are real, valuable work
+    (at 100 TB an increment is hours of cluster time). For each such run
+    this derives lineage from whatever COMMITTED parquet landed (skipping
+    the append if the crashed run already wrote its lineage), then writes
+    the marker — from that moment the run's urls count as done. Partial
+    results are safe to adopt: the urls that landed are genuinely
+    extracted; missing ones re-extract on the next increment's anti-join.
+    Returns adopted run ids. Must not race a live increment (same
+    single-operator assumption as vacuum_uncommitted).
+
+    Refuses to adopt a run whose urls a LATER increment already
+    re-extracted (adopting then would commit the same url twice) — run it
+    before the next increment, or use ``vacuum_uncommitted``."""
+    adopted = []
+    for rid in _uncommitted_run_ids(results_dir):
+        res = (
+            spark.read.schema(_committed_schema()).parquet(results_dir)
+            .where(F.col("run_id") == rid)
+        )
+        marked = committed_urls(spark, results_dir)
+        if marked is not None and res.select("url").join(
+                marked, "url", "left_semi").limit(1).count():
+            raise ValueError(
+                f"crashed run {rid!r} overlaps urls a later increment "
+                "already committed; adopting it would double-commit — use "
+                "vacuum_uncommitted to discard it instead")
+        n = res.count()
+        if n and not _lineage_has_run(spark, lineage_dir, rid):
+            lineage_from_results(res, rid).write.mode("append").parquet(
+                lineage_dir)
+        _write_marker(results_dir, rid, n)
+        adopted.append(rid)
+    return adopted
+
+
+def vacuum_uncommitted(results_dir: str) -> list[str]:
+    """Discard crashed increments: delete unmarked runs' results partitions
+    and release their reservations. Driver-side file ops over O(runs)
+    entries — never a Spark job. Must not race a live increment (the
+    single-operator assumption under which run_incremental is documented)."""
+    removed = []
+    for rid in _uncommitted_run_ids(results_dir):
+        part = os.path.join(results_dir, f"run_id={rid}")
+        if os.path.isdir(part):
+            shutil.rmtree(part)
+        os.remove(os.path.join(_commits_dir(results_dir), f"{rid}.reserved"))
+        removed.append(rid)
+    return removed
+
+
+def _uncommitted_run_ids(results_dir: str) -> list[str]:
+    d = _commits_dir(results_dir)
+    if not os.path.isdir(d):
         return []
-    res = spark.read.schema(_committed_schema()).parquet(results_dir)
-    runs = res.select("run_id").distinct()
-    if _exists(lineage_dir):
-        have = spark.read.parquet(lineage_dir).select("run_id").distinct()
-        runs = runs.join(have, "run_id", "left_anti")
-    missing = [r["run_id"] for r in runs.collect()]
-    for rid in sorted(missing):
-        lineage_from_results(res.where(F.col("run_id") == rid), rid) \
-            .write.mode("append").parquet(lineage_dir)
-    return sorted(missing)
+    reserved = {f[: -len(".reserved")] for f in os.listdir(d)
+                if f.endswith(".reserved")}
+    return sorted(reserved - set(committed_run_ids(results_dir)))
 
 
-def lineage_summary(spark: SparkSession, lineage_dir: str) -> DataFrame:
-    """Roll lineage up per run: docs, bytes, spans by type (map-merge)."""
+def _lineage_has_run(spark: SparkSession, lineage_dir: str,
+                     run_id: str) -> bool:
+    if not _exists(lineage_dir):
+        return False
+    return bool(
+        spark.read.parquet(lineage_dir)
+        .where(F.col("run_id") == run_id).limit(1).count()
+    )
+
+
+def lineage_summary(
+    spark: SparkSession, lineage_dir: str, results_dir: str | None = None,
+) -> DataFrame:
+    """Roll lineage up per run: docs, bytes, spans by type (map-merge).
+    When ``results_dir`` is given, only MARKED runs surface — lineage rows
+    from a run that crashed before its commit marker are invisible, exactly
+    like its results."""
     lin = spark.read.parquet(lineage_dir)
+    if results_dir is not None:
+        lin = lin.where(F.col("run_id").isin(
+            committed_run_ids(results_dir) or [""]))
     exploded = lin.select(
         "run_id", "docs", "bytes", F.explode_outer("spans_by_type").alias("type", "n")
     )
@@ -160,10 +290,10 @@ def _exists(path: str) -> bool:
     """True iff the directory holds at least one COMMITTED parquet data
     file — recursive, because results are hive-partitioned by run_id (a
     bare _SUCCESS marker from an all-empty write is NOT data). Hidden dirs
-    (`_temporary/` task attempts from a crashed write, `.staging`) are
-    skipped: Spark's reader ignores them too, so counting them would make
-    _exists say "data" while the read finds none — bricking every retry
-    after a first-write crash."""
+    (`_temporary/` task attempts from a crashed write, `_commits/`,
+    `.staging`) are skipped: Spark's reader ignores them too, so counting
+    them would make _exists say "data" while the read finds none — bricking
+    every retry after a first-write crash."""
     if not os.path.isdir(path):
         return False
     for _root, dirs, files in os.walk(path):

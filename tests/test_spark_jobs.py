@@ -25,7 +25,8 @@ def test_resume_processes_only_new(spark, tmp_path):
     assert all_rows.count() == 60
     assert all_rows.select("url").distinct().count() == 60
 
-    summ = {r["run_id"]: r for r in lineage_summary(spark, ldir).collect()}
+    summ = {r["run_id"]: r
+            for r in lineage_summary(spark, ldir, rdir).collect()}
     assert summ["run1"]["docs"] == 40 and summ["run2"]["docs"] == 20
 
     # idempotent: third run with same input is a no-op
@@ -90,7 +91,8 @@ def test_numeric_looking_run_id_roundtrips(spark, tmp_path):
     out = run_incremental(spark, pages_df(spark, 6, seed=2), rdir, ldir,
                           "007", num_partitions=2)
     assert out["docs"] == 6
-    summ = {r["run_id"]: r for r in lineage_summary(spark, ldir).collect()}
+    summ = {r["run_id"]: r
+            for r in lineage_summary(spark, ldir, rdir).collect()}
     assert summ["007"]["docs"] == 6
 
 
@@ -105,7 +107,8 @@ def test_reused_run_id_rejected_before_any_write(spark, tmp_path):
                         num_partitions=2)
     # nothing was double-written
     assert spark.read.parquet(rdir).count() == 5
-    summ = {r["run_id"]: r for r in lineage_summary(spark, ldir).collect()}
+    summ = {r["run_id"]: r
+            for r in lineage_summary(spark, ldir, rdir).collect()}
     assert summ["r1"]["docs"] == 5
 
 
@@ -124,33 +127,119 @@ def test_crashed_first_write_leftovers_do_not_brick_retry(spark, tmp_path):
     assert out["docs"] == 4
 
 
-def test_backfill_lineage_repairs_crashed_run(spark, tmp_path, monkeypatch):
+def _crash_after_results(monkeypatch):
+    """Kill the increment between the results write and the lineage write."""
     import pii_spark.resume as resume
-    from pii_spark.resume import backfill_lineage
+
+    monkeypatch.setattr(resume, "lineage_from_results",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("crash before lineage")))
+
+
+def _crash_before_marker(monkeypatch):
+    """Kill the increment after BOTH writes landed, before the marker."""
+    import pii_spark.resume as resume
+
+    monkeypatch.setattr(resume, "_write_marker",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("crash before marker")))
+
+
+@pytest.mark.parametrize("crash", [_crash_after_results, _crash_before_marker])
+def test_crashed_run_is_invisible_and_retry_never_double_counts(
+        spark, tmp_path, monkeypatch, crash):
+    # VERDICT r2 #4: the commit marker is the atomic commit point. A crash
+    # at EITHER point (between results and lineage, or between lineage and
+    # marker) must leave the run invisible — no double-count, no orphan
+    # lineage — with NO repair step before the next increment.
+    import pii_spark.resume as resume
 
     rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
     run_incremental(spark, pages_df(spark, 8, seed=3), rdir, ldir, "r1",
                     num_partitions=2)
 
-    # simulate a crash between the results write and the lineage write:
-    # commit results for r2 directly, without lineage
-    monkeypatch.setattr(resume, "lineage_from_results",
-                        lambda *a, **k: (_ for _ in ()).throw(
-                            RuntimeError("crash before lineage")))
-    with pytest.raises(RuntimeError):
+    crash(monkeypatch)
+    with pytest.raises(RuntimeError, match="crash"):
         run_incremental(spark, pages_df(spark, 12, seed=3), rdir, ldir, "r2",
                         num_partitions=2)
     monkeypatch.undo()
 
-    assert spark.read.parquet(rdir).count() == 12  # r2 results DID land
-    assert backfill_lineage(spark, rdir, ldir) == ["r2"]
-    summ = {r["run_id"]: r for r in lineage_summary(spark, ldir).collect()}
-    assert summ["r1"]["docs"] == 8 and summ["r2"]["docs"] == 4
-    # retry of r2's input is a no-op — committed urls are never re-extracted
+    # r2's results DID land on disk, but the unmarked run is invisible
+    assert spark.read.parquet(rdir).count() == 12
+    assert resume.committed_run_ids(rdir) == ["r1"]
+    assert resume.committed_urls(spark, rdir).count() == 8
+    summ = {r["run_id"]: r
+            for r in lineage_summary(spark, ldir, rdir).collect()}
+    assert set(summ) == {"r1"}  # no orphan lineage in the rollup
+
+    # the same run_id is still reserved — a blind retry under it is refused
+    with pytest.raises(ValueError, match="reserved"):
+        run_incremental(spark, pages_df(spark, 12, seed=3), rdir, ldir, "r2",
+                        num_partitions=2)
+
+    # next increment under a fresh id re-extracts exactly the 4 lost pages
     out = run_incremental(spark, pages_df(spark, 12, seed=3), rdir, ldir,
-                          "r2_retry", num_partitions=2)
-    assert out["docs"] == 0
-    assert backfill_lineage(spark, rdir, ldir) == []
+                          "r3", num_partitions=2)
+    assert out["docs"] == 4
+    marked = spark.read.schema(resume._committed_schema()).parquet(rdir) \
+        .where(F.col("run_id").isin(resume.committed_run_ids(rdir)))
+    assert marked.count() == 12                      # 8 + 4, no duplicates
+    assert marked.select("url").distinct().count() == 12
+    summ = {r["run_id"]: r
+            for r in lineage_summary(spark, ldir, rdir).collect()}
+    assert summ["r1"]["docs"] == 8 and summ["r3"]["docs"] == 4
+    assert "r2" not in summ
+
+    # housekeeping: vacuum deletes the crashed partition + reservation
+    assert resume.vacuum_uncommitted(rdir) == ["r2"]
+    assert spark.read.parquet(rdir).count() == 12
+
+
+def test_adopt_crashed_run_salvages_landed_results(
+        spark, tmp_path, monkeypatch):
+    import pii_spark.resume as resume
+
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    run_incremental(spark, pages_df(spark, 8, seed=3), rdir, ldir, "r1",
+                    num_partitions=2)
+    _crash_before_marker(monkeypatch)
+    with pytest.raises(RuntimeError, match="crash"):
+        run_incremental(spark, pages_df(spark, 12, seed=3), rdir, ldir, "r2",
+                        num_partitions=2)
+    monkeypatch.undo()
+
+    # adoption (run BEFORE the next increment) marks the landed work done
+    # without re-deriving lineage the crashed run already wrote
+    assert resume.adopt_crashed_runs(spark, rdir, ldir) == ["r2"]
+    summ = {r["run_id"]: r
+            for r in lineage_summary(spark, ldir, rdir).collect()}
+    assert summ["r1"]["docs"] == 8 and summ["r2"]["docs"] == 4
+    # no duplicated lineage rows from the adopt pass
+    n_lineage_r2 = spark.read.parquet(ldir).where("run_id = 'r2'") \
+        .agg(F.sum("docs")).first()[0]
+    assert n_lineage_r2 == 4
+    out = run_incremental(spark, pages_df(spark, 12, seed=3), rdir, ldir,
+                          "r3", num_partitions=2)
+    assert out["docs"] == 0  # nothing left to extract
+
+
+def test_adopt_refuses_after_later_increment_overlaps(
+        spark, tmp_path, monkeypatch):
+    import pii_spark.resume as resume
+
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    _crash_after_results(monkeypatch)
+    with pytest.raises(RuntimeError, match="crash"):
+        run_incremental(spark, pages_df(spark, 6, seed=3), rdir, ldir, "r1",
+                        num_partitions=2)
+    monkeypatch.undo()
+    # a later increment re-extracted the crashed run's pages...
+    run_incremental(spark, pages_df(spark, 6, seed=3), rdir, ldir, "r2",
+                    num_partitions=2)
+    # ...so adopting r1 now would commit each url twice — refuse
+    with pytest.raises(ValueError, match="double-commit"):
+        resume.adopt_crashed_runs(spark, rdir, ldir)
+    assert resume.vacuum_uncommitted(rdir) == ["r1"]
 
 
 @pytest.fixture()
