@@ -156,62 +156,64 @@ def _chunk_emissions(chunks, tokenizer, emitter: Emitter, batch_size: int):
                     for (ch, offs), em in zip(keep, ems))
 
 
-def _ner_spans(
-    text: str, cfg: ExtractConfig, tokenizer: WordTokenizer, emitter: Emitter
-) -> list[Span]:
+def _label_ctx(emitter: Emitter):
+    """(labels_list, l2i, id2label, o_id) for this emitter's label space."""
     labels_list = getattr(emitter, "labels", None) or label_maps()[1]
     if isinstance(labels_list, dict):
         labels_list = [labels_list[i] for i in range(len(labels_list))]
     l2i = {lab: i for i, lab in enumerate(labels_list)}
     id2label = {i: lab for lab, i in l2i.items()}
-    o_id = l2i["O"]
+    return labels_list, l2i, id2label, l2i["O"]
 
-    chunks = build_chunks(
-        text,
-        tokenizer,
-        max_length=cfg.max_length,
-        stride=cfg.stride,
-        boundary_backoff=cfg.boundary_backoff,
-        hard_split=cfg.hard_split,
+
+def _decode_and_filter(keys, em_global, cfg: ExtractConfig, ctx) -> list[Span]:
+    labels_list, _l2i, id2label, o_id = ctx
+    if cfg.decode == "bio_viterbi":
+        pred = viterbi_bio(em_global, labels_list, o_id)
+    else:
+        pred = [int(x) for x in np.argmax(em_global, axis=-1)]
+    spans = spans_from_bio(keys, pred, em_global, id2label, cfg.conf_agg)
+    return filter_spans(
+        spans,
+        conf_threshold=cfg.conf_threshold,
+        conf_threshold_by_type=cfg.conf_threshold_by_type,
+        min_span_tokens=cfg.min_span_tokens,
+        min_span_tokens_by_type=cfg.min_span_tokens_by_type,
     )
 
+
+def _decode_chunk_emissions(items, n_chunks: int, cfg: ExtractConfig,
+                            ctx) -> list[Span]:
+    """One document's NER spans from its (chunk, offsets, emissions) stream.
+
+    ``items`` yields in CHUNK ORDER — the fp32 accumulation order — so the
+    result is byte-identical however the emissions were produced (per-chunk
+    calls, per-document micro-batches, or cross-document batches)."""
     if cfg.aggregate == "mean_logits":
         # Single-chunk fast path (the common case for web pages): no overlap
         # to average, so the chunk emissions ARE the global emissions —
         # identical result to the dict accumulation below with count=1
         # (tests flip _SINGLE_CHUNK_FAST to assert the equivalence).
-        if _SINGLE_CHUNK_FAST and len(chunks) == 1:
-            ch = chunks[0]
-            offs = tokenizer.encode(ch.text)
+        if _SINGLE_CHUNK_FAST and n_chunks == 1:
+            got = list(items)
+            if not got:
+                return []
+            ch, offs, em = got[0]
             keys = [(a + ch.char_start, b + ch.char_start)
                     for a, b in offs if a < b]
             if not keys:
                 return []
-            if len(keys) == len(offs):
-                em_global = np.asarray(
-                    emitter(ch.text, offs), dtype=np.float32)
-            else:
-                em = np.asarray(emitter(ch.text, offs), dtype=np.float32)
-                em_global = em[[i for i, (a, b) in enumerate(offs) if a < b]]
-            if cfg.decode == "bio_viterbi":
-                pred = viterbi_bio(em_global, labels_list, o_id)
-            else:
-                pred = [int(x) for x in np.argmax(em_global, axis=-1)]
-            spans = spans_from_bio(keys, pred, em_global, id2label, cfg.conf_agg)
-            return filter_spans(
-                spans,
-                conf_threshold=cfg.conf_threshold,
-                conf_threshold_by_type=cfg.conf_threshold_by_type,
-                min_span_tokens=cfg.min_span_tokens,
-                min_span_tokens_by_type=cfg.min_span_tokens_by_type,
-            )
+            em_global = np.asarray(em, dtype=np.float32)
+            if len(keys) != len(offs):
+                em_global = em_global[
+                    [i for i, (a, b) in enumerate(offs) if a < b]]
+            return _decode_and_filter(keys, em_global, cfg, ctx)
 
         # Accumulate per-token logits keyed by GLOBAL (start,end) char offsets
         # so overlapping chunks average out (reference infer_pii.py:209-235).
         acc_sum: dict[tuple[int, int], np.ndarray] = {}
         acc_cnt: dict[tuple[int, int], int] = {}
-        for ch, offs, em in _chunk_emissions(chunks, tokenizer, emitter,
-                                             cfg.batch_size):
+        for ch, offs, em in items:
             for ti, (a, b) in enumerate(offs):
                 ga, gb = a + ch.char_start, b + ch.char_start
                 if ga >= gb:
@@ -232,41 +234,46 @@ def _ner_spans(
         # one vectorized fp32 divide — elementwise-identical to dividing each
         # row by its count (same operands, same IEEE op)
         em_global = (em_global / cnts[:, None]).astype(np.float32, copy=False)
-        if cfg.decode == "bio_viterbi":
-            pred = viterbi_bio(em_global, labels_list, o_id)
-        else:
-            pred = [int(x) for x in np.argmax(em_global, axis=-1)]
-        spans = spans_from_bio(keys, pred, em_global, id2label, cfg.conf_agg)
-        return filter_spans(
-            spans,
-            conf_threshold=cfg.conf_threshold,
-            conf_threshold_by_type=cfg.conf_threshold_by_type,
-            min_span_tokens=cfg.min_span_tokens,
-            min_span_tokens_by_type=cfg.min_span_tokens_by_type,
-        )
+        return _decode_and_filter(keys, em_global, cfg, ctx)
 
     # aggregate == "none": per-chunk decode, shift to global offsets, merge later
     # (reference infer_pii.py:237-275).
     out: list[Span] = []
-    for ch, offs, em in _chunk_emissions(chunks, tokenizer, emitter,
-                                         cfg.batch_size):
-        if cfg.decode == "bio_viterbi":
-            pred = viterbi_bio(em, labels_list, o_id)
-        else:
-            pred = [int(x) for x in np.argmax(em, axis=-1)]
-        local = spans_from_bio(offs, pred, em, id2label, cfg.conf_agg)
-        local = filter_spans(
-            local,
-            conf_threshold=cfg.conf_threshold,
-            conf_threshold_by_type=cfg.conf_threshold_by_type,
-            min_span_tokens=cfg.min_span_tokens,
-            min_span_tokens_by_type=cfg.min_span_tokens_by_type,
-        )
+    for ch, offs, em in items:
+        local = _decode_and_filter(offs, em, cfg, ctx)
         out.extend(
             Span(s.start + ch.char_start, s.end + ch.char_start, s.type, s.conf, s.n_tokens)
             for s in local
         )
     return out
+
+
+def _ner_spans(
+    text: str, cfg: ExtractConfig, tokenizer: WordTokenizer, emitter: Emitter
+) -> list[Span]:
+    ctx = _label_ctx(emitter)
+    chunks = build_chunks(
+        text,
+        tokenizer,
+        max_length=cfg.max_length,
+        stride=cfg.stride,
+        boundary_backoff=cfg.boundary_backoff,
+        hard_split=cfg.hard_split,
+    )
+    items = _chunk_emissions(chunks, tokenizer, emitter, cfg.batch_size)
+    return _decode_chunk_emissions(items, len(chunks), cfg, ctx)
+
+
+def _finalize_document(
+    text: str, ner_spans: list[Span], cfg: ExtractConfig
+) -> tuple[list[Span], bool]:
+    """NER spans + detector spans → merged spans + public decision."""
+    spans = list(ner_spans)
+    if cfg.use_detectors:
+        spans.extend(detect_spans(text))
+    merged = merge_and_resolve(spans, resolve_overlaps=cfg.resolve_overlaps)
+    public = not any(s.type in _PII_SET for s in merged)
+    return merged, public
 
 
 def extract_document(
@@ -280,40 +287,26 @@ def extract_document(
     if not isinstance(text, str) or not text:
         return [], True
     tokenizer = tokenizer or cfg.make_tokenizer()
-    spans: list[Span] = []
-    if cfg.use_ner:
-        spans.extend(_ner_spans(text, cfg, tokenizer, emitter or StubEmitter()))
-    if cfg.use_detectors:
-        spans.extend(detect_spans(text))
-    merged = merge_and_resolve(spans, resolve_overlaps=cfg.resolve_overlaps)
-    public = not any(s.type in _PII_SET for s in merged)
-    return merged, public
+    ner = (_ner_spans(text, cfg, tokenizer, emitter or StubEmitter())
+           if cfg.use_ner else [])
+    return _finalize_document(text, ner, cfg)
 
 
-def extract_page(
-    url: str,
-    html: bytes | None,
-    text: str | None,
-    cfg: ExtractConfig | None = None,
-    emitter: Emitter | None = None,
-    tokenizer: WordTokenizer | None = None,
-) -> dict:
-    """Full per-page record: payload (preferred) or pre-extracted text →
-    result. The payload is sniffed: ``%PDF-`` magic routes to the PDF layout
-    parser, anything else to the HTML main-content extractor (the north
-    rule's "HTML boilerplate strip, PDF/layout parse" stage).
-
-    Output shape mirrors the reference JSONL record (infer_pii.py:553-569):
-    value = extracted_text[start:end], conf rounded to 2 decimals.
-    """
+def _payload_to_text(html: bytes | None, text: str | None) -> str:
+    """Payload sniff: ``%PDF-`` magic routes to the PDF layout parser,
+    anything else to the HTML main-content extractor (the north rule's
+    "HTML boilerplate strip, PDF/layout parse" stage)."""
     if html:
         if looks_like_pdf(html):
-            extracted = pdf_to_text(html)
-        else:
-            extracted = html_to_text(html)
-    else:
-        extracted = text or ""
-    spans, public = extract_document(extracted, cfg, emitter, tokenizer)
+            return pdf_to_text(html)
+        return html_to_text(html)
+    return text or ""
+
+
+def _page_record(url: str, extracted: str, spans: list[Span],
+                 public: bool) -> dict:
+    """Reference-shaped JSONL record (infer_pii.py:553-569):
+    value = extracted_text[start:end], conf rounded to 2 decimals."""
     return {
         "url": url,
         "extracted_text": extracted,
@@ -330,3 +323,124 @@ def extract_page(
         ],
         "should_be_public": public,
     }
+
+
+def extract_page(
+    url: str,
+    html: bytes | None,
+    text: str | None,
+    cfg: ExtractConfig | None = None,
+    emitter: Emitter | None = None,
+    tokenizer: WordTokenizer | None = None,
+) -> dict:
+    """Full per-page record: payload (preferred) or pre-extracted text →
+    result. See ``_payload_to_text`` for the sniff and ``_page_record`` for
+    the output shape."""
+    extracted = _payload_to_text(html, text)
+    spans, public = extract_document(extracted, cfg, emitter, tokenizer)
+    return _page_record(url, extracted, spans, public)
+
+
+def _emit_flat(flat, emitter: Emitter, batch_size: int):
+    """Yield (doc_i, chunk, offsets, emissions) for every entry of ``flat``
+    (document-then-chunk order), computing emissions in CROSS-DOCUMENT
+    groups of ``batch_size`` through ``emitter.emit_batch``. Only one
+    group's emissions are materialized at a time, so memory stays
+    O(batch_size × chunk) however many documents the caller batched.
+    Falls back to per-chunk calls when the emitter is not batched."""
+    emit_batch = getattr(emitter, "emit_batch", None)
+    if emit_batch is None:
+        for i, ch, offs in flat:
+            yield i, ch, offs, emitter(ch.text, offs)
+        return
+    step = max(1, int(batch_size))
+    for g in range(0, len(flat), step):
+        group = flat[g:g + step]
+        ems = emit_batch([ch.text for _, ch, _ in group],
+                         [offs for _, _, offs in group])
+        for (i, ch, offs), em in zip(group, ems):
+            yield i, ch, offs, em
+
+
+def extract_page_batch(
+    records,
+    cfg: ExtractConfig | None = None,
+    emitter: Emitter | None = None,
+    tokenizer: WordTokenizer | None = None,
+) -> list[dict | Exception]:
+    """Cross-DOCUMENT chunk batching: extract a whole batch of pages with
+    chunks from ALL documents sharing ``emitter.emit_batch`` forward passes
+    in groups of ``cfg.batch_size``, regardless of document boundaries.
+
+    This generalizes the reference's per-document ``--batch_size`` forward
+    batching (infer_pii.py:180-201) across documents: web corpora are
+    dominated by single-chunk pages, so per-document batching degenerates
+    to batch-of-1 forwards and a real GPU emitter starves. Here 8
+    single-chunk documents share one forward pass.
+
+    Byte-identity: each document's chunks keep their chunk order in the
+    flat stream, emissions per chunk are independent of batch composition
+    (stub: pure per-chunk function; transformer: attention-masked padding),
+    and per-document fp32 mean-logit accumulation consumes them in that
+    same order — so every returned record equals ``extract_page`` on the
+    same row (pytest-pinned parity).
+
+    ``records``: iterable of (url, html, text). Returns a list aligned with
+    the input; each element is the page record dict, or the Exception that
+    page raised (callers quarantine — the Spark UDF maps it to a
+    fail-closed error row). A failing page never poisons its neighbors.
+    """
+    cfg = cfg or ExtractConfig()
+    if emitter is None and tokenizer is None:
+        emitter, tokenizer = cfg.make_emitter_and_tokenizer()
+    elif emitter is None:
+        emitter = StubEmitter()
+    elif tokenizer is None:
+        tokenizer = cfg.make_tokenizer()
+    ctx = _label_ctx(emitter)
+
+    # Phase 1 (per doc, CPU): payload → text → chunks → token offsets.
+    prep: list[tuple[str, str | None, int, Exception | None]] = []
+    flat: list[tuple[int, object, list[tuple[int, int]]]] = []
+    n_flat: list[int] = []
+    for i, (url, html, text) in enumerate(records):
+        n0 = len(flat)
+        try:
+            extracted = _payload_to_text(html, text)
+            n_chunks = 0
+            if cfg.use_ner and extracted:
+                chunks = build_chunks(
+                    extracted, tokenizer,
+                    max_length=cfg.max_length, stride=cfg.stride,
+                    boundary_backoff=cfg.boundary_backoff,
+                    hard_split=cfg.hard_split,
+                )
+                n_chunks = len(chunks)
+                for ch in chunks:
+                    offs = tokenizer.encode(ch.text)
+                    if offs:
+                        flat.append((i, ch, offs))
+            prep.append((url, extracted, n_chunks, None))
+        except Exception as e:  # noqa: BLE001 — per-page quarantine
+            prep.append((url, None, 0, e))
+        n_flat.append(len(flat) - n0)
+
+    # Phase 2+3: stream emissions in cross-document groups, finalize each
+    # document as soon as its chunks are through (no corpus-sized buffers).
+    it = _emit_flat(flat, emitter, cfg.batch_size)
+    out: list[dict | Exception] = []
+    for (url, extracted, n_chunks, err), k in zip(prep, n_flat):
+        doc_items = [next(it) for _ in range(k)]
+        if err is not None:
+            out.append(err)
+            continue
+        try:
+            ner = _decode_chunk_emissions(
+                ((ch, offs, em) for _i, ch, offs, em in doc_items),
+                n_chunks, cfg, ctx,
+            ) if n_chunks else []
+            spans, public = _finalize_document(extracted, ner, cfg)
+            out.append(_page_record(url, extracted, spans, public))
+        except Exception as e:  # noqa: BLE001 — per-page quarantine
+            out.append(e)
+    return out

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pii_core.pipeline import ExtractConfig, extract_page
+from pii_core.pipeline import ExtractConfig, extract_page_batch
 from pii_spark.schemas import RESULTS_SCHEMA
 
 RESULTS_WITH_PID = T.StructType(
@@ -77,18 +77,25 @@ def _extract_batches(cfg: ExtractConfig, passthrough: tuple[str, ...] = ()):
                 "should_be_public": [], "n_spans": [], "doc_bytes": [],
                 "error": [],
             }
-            for url, html, text in zip(urls, htmls, texts):
-                try:
-                    rec = extract_page(url, html, text, cfg, emitter, tokenizer)
-                    err = None
-                except Exception as e:  # noqa: BLE001 — quarantine, don't kill
+            # Cross-DOCUMENT chunk batching: chunks from every page in this
+            # Arrow batch share emit_batch forward passes in groups of
+            # cfg.batch_size, so a real GPU emitter stays saturated on
+            # short-doc (single-chunk) web corpora. Per-doc chunk order —
+            # and so fp32 accumulation order — is unchanged: output is
+            # byte-identical to the per-page path at any partition count.
+            recs = extract_page_batch(
+                zip(urls, htmls, texts), cfg, emitter, tokenizer)
+            for url, rec in zip(urls, recs):
+                if isinstance(rec, Exception):
                     # One pathological page (e.g. a multi-kB unbroken char
                     # run that defeats the chunker's word-boundary budget,
                     # reference-parity fail-fast) must not abort a cluster
                     # job. FAIL-CLOSED: an unscanned page is never public.
+                    err = f"{type(rec).__name__}: {rec}"[:500]
                     rec = {"url": url, "extracted_text": "", "spans": [],
                            "should_be_public": False}
-                    err = f"{type(e).__name__}: {e}"[:500]
+                else:
+                    err = None
                 out["url"].append(rec["url"])
                 out["extracted_text"].append(rec["extracted_text"])
                 out["spans"].append(rec["spans"])

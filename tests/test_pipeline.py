@@ -138,3 +138,63 @@ def test_single_chunk_fast_path_equivalent():
         pl._SINGLE_CHUNK_FAST = True
     fast = [pl.extract_page(p["url"], p["html"], p["text"]) for p in pages]
     assert fast == slow
+
+
+def test_extract_page_batch_parity_mixed_corpus():
+    """Cross-document batching (VERDICT r2 #2) must be byte-identical to the
+    per-page path on a mixed corpus: short single-chunk pages, multi-chunk
+    pages (overlap accumulation spanning forward-group boundaries), PDFs,
+    empty payloads, text-only rows — and a failing page must map to its
+    Exception without poisoning neighbors."""
+    from pii_core.pipeline import extract_page, extract_page_batch
+    from pii_spark.synth import gen_pages
+
+    pages = [(p["url"], p["html"], p["text"]) for p in gen_pages(40, seed=5)]
+    long_body = ("<p>" + "Solicito acesso ao processo. " * 400
+                 + " CPF 529.982.247-25 contato x@y.org</p>").encode()
+    pages += [
+        ("multi1", long_body, None),
+        ("empty", b"", None),
+        ("textonly", None, "contato maria@example.com aqui"),
+        # giant unbroken run: chunker fail-fast (hard_split off) -> Exception
+        ("fails", ("<p>" + "z" * 20000 + "</p>").encode(), None),
+        ("multi2", long_body, None),
+    ]
+    cfg = ExtractConfig(max_length=64, stride=16, batch_size=8)
+    got = extract_page_batch(pages, cfg)
+    assert len(got) == len(pages)
+    for (url, html, text), rec in zip(pages, got):
+        if url == "fails":
+            assert isinstance(rec, RuntimeError)
+            continue
+        assert rec == extract_page(url, html, text, cfg), url
+
+
+def test_cross_document_forward_batching_saturates():
+    """Forward passes must be shared ACROSS documents: N single-chunk pages
+    at batch_size B take ceil(chunks/B) emit_batch calls, each full except
+    the last — per-document batching would take N batch-of-1 calls and
+    starve a GPU emitter."""
+    import math
+
+    from pii_core.ner_stub import StubEmitter
+    from pii_core.pipeline import extract_page_batch
+    from pii_spark.synth import gen_pages
+
+    class CountingEmitter(StubEmitter):
+        def __init__(self):
+            self.calls = []
+
+        def emit_batch(self, texts, offsets_list):
+            self.calls.append(len(texts))
+            return super().emit_batch(texts, offsets_list)
+
+    pages = [(p["url"], p["html"], p["text"]) for p in gen_pages(50, seed=7)]
+    cfg = ExtractConfig(batch_size=8)
+    em = CountingEmitter()
+    recs = extract_page_batch(pages, cfg, em, cfg.make_tokenizer())
+    assert all(not isinstance(r, Exception) for r in recs)
+    total_chunks = sum(em.calls)
+    assert total_chunks >= len(pages)  # every page contributed >= 1 chunk
+    assert len(em.calls) == math.ceil(total_chunks / 8)
+    assert all(c == 8 for c in em.calls[:-1]) and em.calls[-1] <= 8
