@@ -252,3 +252,32 @@ def pages_df(spark, n: int, seed: int = 42, num_partitions: int | None = None):
 def write_pages(spark, out_dir: str, n: int, seed: int = 42) -> None:
     """Materialize a corpus to parquet (bench input)."""
     pages_df(spark, n, seed=seed).write.mode("overwrite").parquet(out_dir)
+
+
+def clustered_embeddings_pdf(n: int, dim: int = 64, n_clusters: int = 16,
+                             seed: int = 101, spread: float = 0.35):
+    """Deterministic CLUSTERED unit embeddings — the realistic
+    text-embedding regime (near-uniform vectors, as in the sf tables'
+    embeddings, are the adversarial regime for hashing ANN).
+
+    Each point = unit cluster center + ``spread`` × unit noise, renormalized,
+    so same-cluster cosine ≈ 1/(1+spread²) ≈ 0.89 at the default — about
+    what sentence embeddings of near-duplicate web text score. Returns a
+    pandas frame (vec_id, embedding: list[float], cluster_id); callers
+    createDataFrame it for Spark-side ANN gates."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cid = np.arange(n) % n_clusters
+    g = rng.normal(0, 1, (n, dim))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    pts = centers[cid] + spread * g
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row.astype(float).tolist() for row in pts],
+        "cluster_id": cid.astype(np.int64),
+    })
