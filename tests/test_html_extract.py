@@ -119,3 +119,129 @@ def test_stray_void_block_end_tag_delimits_blocks():
 def test_deterministic():
     html = b"<body><p>Conteudo principal repetivel e deterministico sem estado.</p></body>"
     assert html_to_text(html) == html_to_text(html)
+
+
+# =========================================================================
+# Wild-HTML fuzz hardening (VERDICT r2 #7)
+# =========================================================================
+# Round 2's highest-severity finding was a FAIL-OPEN: boilerplate-classed
+# void tags leaked _drop_depth so all following text silently vanished
+# (never PII-scanned). This suite generates >= 1200 seeded malformed
+# documents — unclosed tags, stray end tags, nested boilerplate, CDATA,
+# comments, entities, bogus markup, boilerplate void tags — and asserts the
+# frozen-spec invariants: KEEP-sentinels placed in content position outside
+# any drop scope always survive (no silent text drop), DROP-sentinels
+# placed inside boilerplate/drop subtrees never appear, and extraction
+# never raises (fail-closed returns "" only on parser error).
+
+_GARBAGE_SNIPPETS = [
+    # unclosed inline / block tags (valid-wild HTML)
+    "<p>fragmento curto sem fechamento",
+    "<li>item solto<li>outro item",
+    "<b><i>negrito aninhado sem fim",
+    "<span>vazio<div>bloco aberto</div>",
+    # stray end tags (nothing open)
+    "</p></div></li></span></br></a>",
+    "</body></html></table>",
+    # comments, CDATA, processing instructions, declarations
+    "<!-- comentario com <p>tags</p> dentro -->",
+    "<![CDATA[ dados <brutos> & entidades ]]>",
+    "<?php echo 'oi'; ?>",
+    "<!DOCTYPE html>",
+    # entities, raw ampersands, numeric refs, malformed refs
+    "&amp; &lt;tag&gt; &#65; &#xE9; &naoexiste; & solto",
+    # bogus / truncated markup
+    "<foo<bar>texto</foo<bar>",
+    "< notatag >",
+    "<div", "<>",
+    # boilerplate VOID tags (the round-2 fail-open regression)
+    '<img class="ad" src="x.png"><input id="cookie-banner">',
+    '<br class="sidebar"><hr id="footer-rule"><meta class="promo">',
+    # attribute junk
+    '<div data-x="a<b" title=\'c>d\'>curto</div>',
+    # deeply nested noise
+    "<div><div><div><span>" + "x" * 10 + "</span></div></div></div>",
+]
+
+_DROP_WRAPPERS = [
+    # (open, close) pairs the generator ALWAYS closes: inside, anything dies
+    ('<script>', '</script>'),
+    ('<style>', '</style>'),
+    ('<nav>', '</nav>'),
+    ('<div class="sidebar">', '</div>'),
+    ('<span id="main-footer">', '</span>'),
+    ('<form><fieldset>', '</fieldset></form>'),
+    ('<aside><div>', '</div></aside>'),
+]
+
+
+def _fuzz_doc(seed: int):
+    """One malformed document + its expected keep/drop sentinel sets.
+
+    The generator tracks drop/link scopes it opens and closes them after
+    each segment (wild-HTML chaos stays INSIDE segments), so a
+    keep-sentinel's block is provably outside every drop scope with no
+    open <a> — the frozen spec then REQUIRES it in the output."""
+    import random
+
+    rng = random.Random(seed)
+    parts = ["<body>"]
+    keeps, drops = [], []
+    for seg in range(rng.randrange(2, 7)):
+        roll = rng.random()
+        if roll < 0.45:  # malformed garbage, then force-close stray <a>s
+            # Each snippet is followed by ">" so a truncated tag ("<div")
+            # cannot glue onto the NEXT snippet and steal its boilerplate
+            # class (which would legitimately open an unclosed drop scope).
+            # A stray ">" with nothing open is just short text — harmless.
+            parts.append(rng.choice(_GARBAGE_SNIPPETS))
+            parts.append(">")
+            if rng.random() < 0.5:
+                parts.append(rng.choice(_GARBAGE_SNIPPETS))
+                parts.append(">")
+            parts.append("</a></a>")
+        elif roll < 0.7:  # keep-sentinel in content position
+            s = (f"Sentinela mantida numero {seed}x{seg} com texto longo "
+                 f"o bastante para o corte de vinte e cinco caracteres.")
+            keeps.append(s)
+            parts.append(f"<p>{s}</p>")
+        else:  # drop-sentinel inside a closed boilerplate/drop subtree
+            opener, closer = rng.choice(_DROP_WRAPPERS)
+            s = f"SENTINELA-DESCARTADA-{seed}-{seg} nunca deve aparecer aqui."
+            drops.append(s.split()[0])
+            nested = rng.random() < 0.4
+            parts.append(opener)
+            if nested:
+                o2, c2 = rng.choice(_DROP_WRAPPERS)
+                parts.append(o2 + s + c2)
+            else:
+                parts.append(s)
+            parts.append(closer)
+    if rng.random() < 0.5:
+        parts.append("</body>")  # half the docs end unclosed
+    return "".join(parts), keeps, drops
+
+
+def test_fuzz_malformed_html_no_silent_drop_or_leak():
+    n_cases = 1200
+    n_with_keeps = 0
+    for seed in range(n_cases):
+        doc, keeps, drops = _fuzz_doc(seed)
+        out = html_to_text(doc.encode("utf-8"))   # must never raise
+        assert isinstance(out, str)
+        for s in keeps:
+            assert s in out, f"seed {seed}: silent drop of content text"
+        for tok in drops:
+            assert tok not in out, f"seed {seed}: boilerplate leaked"
+        n_with_keeps += bool(keeps)
+    assert n_with_keeps > n_cases // 3  # the suite actually exercises keeps
+
+
+def test_fuzz_bytes_garbage_never_raises():
+    import random
+
+    rng = random.Random(99)
+    for _ in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        out = html_to_text(blob)
+        assert isinstance(out, str)
