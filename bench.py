@@ -94,11 +94,17 @@ def _run_extraction(spark, pages_path: str) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--batching", action="store_true",
+                    help="short-doc cross-document forward-batching bench "
+                         "(pii_core-local, no Spark) -> BENCH/batching.md")
     ap.add_argument("--repeats", type=int, default=3,
                     help="scaling mode: timed runs per config (median taken)")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
+
+    if args.batching:
+        return batching()
 
     from pii_spark.session import get_spark
 
@@ -148,6 +154,159 @@ def main() -> int:
         "cpus": cpus,
     }))
     spark.stop()
+    return 0
+
+
+def batching(n_docs: int = 4000, dispatch_ms: float = 2.0) -> int:
+    """Measure what cross-DOCUMENT chunk batching buys on a short-doc web
+    corpus (pii_core-local, single process, no Spark — the Spark UDF calls
+    ``extract_page_batch`` per Arrow batch, so this measures exactly the
+    code the executor runs).
+
+    Two axes:
+    - forward-call counts / mean chunks per forward — the GPU-saturation
+      metric: a batched accelerator's utilization is governed by batch fill,
+      and per-document batching degenerates to ~1 chunk/forward on
+      single-chunk pages.
+    - wall time under a *dispatch-overhead model*: the sandbox has no
+      GPU/torch, so accelerator per-forward overhead (kernel launch +
+      host<->device transfer, ~ms regardless of batch size) is modeled as a
+      fixed ``dispatch_ms`` sleep per emit_batch call, layered on the real
+      stub compute. Clearly a MODEL — labeled as such in the report; the
+      call-count reduction it amplifies is measured, not modeled.
+
+    Also asserts the two paths produce identical records (the byte-identity
+    contract pinned in tests/test_pipeline.py).
+    """
+    import statistics
+
+    from pii_core.pipeline import ExtractConfig, extract_page, extract_page_batch
+    from pii_spark.synth import gen_page
+
+    cfg = ExtractConfig()
+    # Deterministic short-doc corpus: keep only pages under 4 KB of html
+    # (mostly single-chunk after boilerplate strip) — the regime the
+    # cross-doc batching commit targets.
+    records = []
+    i = 0
+    while len(records) < n_docs:
+        p = gen_page(i, seed=7)
+        if 0 < len(p["html"]) < 4096:
+            records.append((p["url"], p["html"], p["text"]))
+        i += 1
+
+    class CountingEmitter:
+        """StubEmitter + forward-call accounting + optional fixed
+        per-forward dispatch overhead (accelerator model)."""
+
+        def __init__(self, dispatch_s: float = 0.0):
+            from pii_core.ner_stub import StubEmitter
+
+            self._inner = StubEmitter()
+            self.labels = self._inner.labels
+            self.dispatch_s = dispatch_s
+            self.calls = 0
+            self.chunks = 0
+
+        def __call__(self, text, offsets):
+            return self.emit_batch([text], [offsets])[0]
+
+        def emit_batch(self, texts, offsets_list):
+            self.calls += 1
+            self.chunks += len(texts)
+            if self.dispatch_s:
+                time.sleep(self.dispatch_s)
+            return self._inner.emit_batch(texts, offsets_list)
+
+    def run_per_doc(em):
+        tok = cfg.make_tokenizer()
+        return [extract_page(u, h, t, cfg, em, tok) for u, h, t in records]
+
+    def run_cross_doc(em):
+        tok = cfg.make_tokenizer()
+        out = []
+        for g in range(0, len(records), 1024):  # Arrow batch size in the UDF
+            out.extend(extract_page_batch(records[g:g + 1024], cfg, em, tok))
+        return out
+
+    # Parity check (cheap, full corpus) with plain counting emitters.
+    em_pd, em_xd = CountingEmitter(), CountingEmitter()
+    res_pd = run_per_doc(em_pd)
+    res_xd = run_cross_doc(em_xd)
+    assert res_pd == res_xd, "cross-doc batching changed output"
+    assert em_pd.chunks == em_xd.chunks
+
+    def timed(fn, dispatch_s, reps=3):
+        secs = []
+        for _ in range(reps):
+            em = CountingEmitter(dispatch_s)
+            t0 = time.time()
+            fn(em)
+            secs.append(time.time() - t0)
+        return statistics.median(secs)
+
+    stub_pd = timed(run_per_doc, 0.0)
+    stub_xd = timed(run_cross_doc, 0.0)
+    disp = dispatch_ms / 1000.0
+    model_pd = timed(run_per_doc, disp)
+    model_xd = timed(run_cross_doc, disp)
+
+    rep = {
+        "metric": "crossdoc_batching",
+        "n_docs": n_docs,
+        "chunks": em_xd.chunks,
+        "forwards_per_doc_batching": em_pd.calls,
+        "forwards_cross_doc_batching": em_xd.calls,
+        "mean_chunks_per_forward_per_doc": round(em_pd.chunks / em_pd.calls, 2),
+        "mean_chunks_per_forward_cross_doc": round(
+            em_xd.chunks / em_xd.calls, 2),
+        "stub_docs_per_sec_per_doc": round(n_docs / stub_pd, 1),
+        "stub_docs_per_sec_cross_doc": round(n_docs / stub_xd, 1),
+        "dispatch_model_ms_per_forward": dispatch_ms,
+        "model_docs_per_sec_per_doc": round(n_docs / model_pd, 1),
+        "model_docs_per_sec_cross_doc": round(n_docs / model_xd, 1),
+        "model_speedup": round(model_pd / model_xd, 2),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/batching.md", "w") as f:
+        f.write(f"""# Cross-document forward batching — short-doc corpus
+
+Corpus: {n_docs} deterministic synthetic pages (seed 7) filtered to < 4 KB
+html — the single-chunk-dominated regime of real web crawls. Identical
+extraction code both ways; outputs asserted equal on the full corpus.
+
+## Measured: forward-call fill (the GPU-saturation metric)
+
+| path | forward calls | mean chunks / forward |
+|---|---|---|
+| per-document batching (reference --batch_size semantics) | {em_pd.calls} | {rep['mean_chunks_per_forward_per_doc']} |
+| cross-document batching (extract_page_batch) | {em_xd.calls} | {rep['mean_chunks_per_forward_cross_doc']} |
+
+Cross-document batching issues **{em_pd.calls / em_xd.calls:.1f}x fewer**
+forward passes at batch_size={cfg.batch_size}; per-document batching runs
+{rep['mean_chunks_per_forward_per_doc']} chunks per forward on this corpus —
+an accelerator would idle {100 * (1 - rep['mean_chunks_per_forward_per_doc'] / cfg.batch_size):.0f}% of each batch slot.
+
+## Measured: CPU stub wall time (no accelerator)
+
+per-doc {n_docs / stub_pd:.0f} docs/s vs cross-doc {n_docs / stub_xd:.0f}
+docs/s — {stub_pd / stub_xd:.2f}x. With the pure-NumPy stub the forward is
+cheap, so call overhead is small; the stub case bounds the batching cost at
+~zero (parity of the two paths is the point here).
+
+## Modeled: accelerator dispatch overhead
+
+No GPU/torch in this sandbox, so per-forward dispatch cost (kernel launch +
+host<->device transfer, roughly constant vs batch size) is MODELED as a
+fixed {dispatch_ms:.0f} ms sleep per emit_batch call on top of the real
+stub compute. Under that model: per-doc {n_docs / model_pd:.0f} docs/s vs
+cross-doc {n_docs / model_xd:.0f} docs/s — **{model_pd / model_xd:.2f}x**.
+The call-count ratio driving this is measured above; only the per-call
+cost is assumed.
+
+Reproduce: `python bench.py --batching`.
+""")
+    print(json.dumps(rep))
     return 0
 
 
