@@ -28,6 +28,7 @@ resolve_overlaps=True.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -83,11 +84,20 @@ class ExtractConfig:
         # the chunker's runtime checks (chunking.py) plus enum fields.
         if self.max_length <= 8:
             raise ValueError(f"max_length too small: {self.max_length}")
-        budget = int(self.max_length) - 2  # WordTokenizer-style 2 specials
+        # Budget = max_length - num_special_tokens. The special count is a
+        # property of the tokenizer: exactly 2 for the stub WordTokenizer
+        # (model_path None), but a transformer checkpoint's tokenizer may
+        # add 1-3 — and it only exists on the executor. So the EXACT check
+        # runs eagerly on the stub path; the model path gets the loosest
+        # sound bound here (0 specials) and the chunker re-validates with
+        # the real count at first use (chunking.py raises on
+        # stride >= budget), which is as early as that tokenizer exists.
+        specials = 2 if self.model_path is None else 0
+        budget = int(self.max_length) - specials
         if not (0 <= self.stride < budget):
             raise ValueError(
-                f"stride must satisfy 0 <= stride < max_length - 2 = "
-                f"{budget}; got {self.stride}")
+                f"stride must satisfy 0 <= stride < max_length - "
+                f"{specials} = {budget}; got {self.stride}")
         if self.boundary_backoff < 0:
             raise ValueError(
                 f"boundary_backoff must be >= 0, got {self.boundary_backoff}")
@@ -341,25 +351,29 @@ def extract_page(
     return _page_record(url, extracted, spans, public)
 
 
-def _emit_flat(flat, emitter: Emitter, batch_size: int):
-    """Yield (doc_i, chunk, offsets, emissions) for every entry of ``flat``
-    (document-then-chunk order), computing emissions in CROSS-DOCUMENT
-    groups of ``batch_size`` through ``emitter.emit_batch``. Only one
-    group's emissions are materialized at a time, so memory stays
-    O(batch_size × chunk) however many documents the caller batched.
-    Falls back to per-chunk calls when the emitter is not batched."""
-    emit_batch = getattr(emitter, "emit_batch", None)
-    if emit_batch is None:
-        for i, ch, offs in flat:
-            yield i, ch, offs, emitter(ch.text, offs)
-        return
-    step = max(1, int(batch_size))
-    for g in range(0, len(flat), step):
-        group = flat[g:g + step]
-        ems = emit_batch([ch.text for _, ch, _ in group],
-                         [offs for _, _, offs in group])
-        for (i, ch, offs), em in zip(group, ems):
-            yield i, ch, offs, em
+def _emit_group(group, emitter: Emitter, emit_batch):
+    """Emissions for one cross-document chunk group. On a batched-forward
+    failure, RETRY PER CHUNK so the error is attributed to the page that
+    caused it: the healthy neighbors in the group still get real emissions
+    and only the pathological page quarantines (an Exception in place of
+    its (T,C) array). A whole-group raise would abort the Spark task and,
+    after retries, the cluster job — exactly what per-page quarantine
+    exists to prevent."""
+    texts = [ch.text for _, ch, _ in group]
+    offsets = [offs for _, _, offs in group]
+    if emit_batch is not None:
+        try:
+            return emit_batch(texts, offsets)
+        except Exception:  # noqa: BLE001 — isolate below
+            pass
+    out = []
+    for text, offs in zip(texts, offsets):
+        try:
+            out.append(emit_batch([text], [offs])[0] if emit_batch is not None
+                       else emitter(text, offs))
+        except Exception as e:  # noqa: BLE001 — per-page quarantine
+            out.append(e)
+    return out
 
 
 def extract_page_batch(
@@ -368,9 +382,9 @@ def extract_page_batch(
     emitter: Emitter | None = None,
     tokenizer: WordTokenizer | None = None,
 ) -> list[dict | Exception]:
-    """Cross-DOCUMENT chunk batching: extract a whole batch of pages with
-    chunks from ALL documents sharing ``emitter.emit_batch`` forward passes
-    in groups of ``cfg.batch_size``, regardless of document boundaries.
+    """Cross-DOCUMENT chunk batching: extract a batch of pages with chunks
+    from ALL documents sharing ``emitter.emit_batch`` forward passes in
+    groups of ``cfg.batch_size``, regardless of document boundaries.
 
     This generalizes the reference's per-document ``--batch_size`` forward
     batching (infer_pii.py:180-201) across documents: web corpora are
@@ -378,17 +392,29 @@ def extract_page_batch(
     to batch-of-1 forwards and a real GPU emitter starves. Here 8
     single-chunk documents share one forward pass.
 
-    Byte-identity: each document's chunks keep their chunk order in the
-    flat stream, emissions per chunk are independent of batch composition
-    (stub: pure per-chunk function; transformer: attention-masked padding),
-    and per-document fp32 mean-logit accumulation consumes them in that
-    same order — so every returned record equals ``extract_page`` on the
-    same row (pytest-pinned parity).
+    Streaming: documents are prepared (payload → text → chunks → offsets),
+    emitted, and finalized in ONE interleaved pass — a forward group fires
+    as soon as ``batch_size`` chunks are pending and each document is
+    finalized the moment its last chunk is through. Peak extra memory is
+    O(batch_size × chunk + one document), NOT O(Arrow batch): on a
+    heavy-tailed web corpus an up-front phase split would buffer every
+    chunk text and per-token offset tuple for all ~1024 batched docs.
+
+    Byte-identity: group boundaries are consecutive ``batch_size`` slices
+    of the global chunk stream (independent of where document boundaries
+    fall), each document's chunks keep chunk order, emissions per chunk are
+    independent of group composition (stub: pure per-chunk function;
+    transformer: fixed-width padding — see TransformerEmitter), and
+    per-document fp32 mean-logit accumulation consumes them in that same
+    order — so every returned record equals ``extract_page`` on the same
+    row (pytest-pinned parity).
 
     ``records``: iterable of (url, html, text). Returns a list aligned with
     the input; each element is the page record dict, or the Exception that
     page raised (callers quarantine — the Spark UDF maps it to a
-    fail-closed error row). A failing page never poisons its neighbors.
+    fail-closed error row). A failing page never poisons its neighbors:
+    prep errors, EMITTER errors (isolated per chunk via ``_emit_group``),
+    and decode errors all quarantine only their own page.
     """
     cfg = cfg or ExtractConfig()
     if emitter is None and tokenizer is None:
@@ -398,16 +424,45 @@ def extract_page_batch(
     elif tokenizer is None:
         tokenizer = cfg.make_tokenizer()
     ctx = _label_ctx(emitter)
+    emit_batch = getattr(emitter, "emit_batch", None)
+    step = max(1, int(cfg.batch_size)) if emit_batch is not None else 1
 
-    # Phase 1 (per doc, CPU): payload → text → chunks → token offsets.
-    prep: list[tuple[str, str | None, int, Exception | None]] = []
-    flat: list[tuple[int, object, list[tuple[int, int]]]] = []
-    n_flat: list[int] = []
-    for i, (url, html, text) in enumerate(records):
-        n0 = len(flat)
+    out: list[dict | Exception] = []
+    # Docs whose emissions are still outstanding, in input order:
+    # [url, extracted, n_chunks, err, n_left, items]
+    pending: deque[list] = deque()
+    buf: list = []  # (doc_state, chunk, offsets) awaiting a forward group
+
+    def finalize(d) -> dict | Exception:
+        url, extracted, n_chunks, err, _n_left, items = d
+        if err is None:
+            err = next((em for _, _, em in items
+                        if isinstance(em, Exception)), None)
+        if err is not None:
+            return err
         try:
-            extracted = _payload_to_text(html, text)
-            n_chunks = 0
+            ner = _decode_chunk_emissions(
+                iter(items), n_chunks, cfg, ctx) if n_chunks else []
+            spans, public = _finalize_document(extracted, ner, cfg)
+            return _page_record(url, extracted, spans, public)
+        except Exception as e:  # noqa: BLE001 — per-page quarantine
+            return e
+
+    def pump(drain: bool) -> None:
+        while len(buf) >= step or (drain and buf):
+            group, del_n = buf[:step], min(step, len(buf))
+            del buf[:del_n]
+            for (d, ch, offs), em in zip(
+                    group, _emit_group(group, emitter, emit_batch)):
+                d[5].append((ch, offs, em))
+                d[4] -= 1
+            while pending and pending[0][4] == 0:
+                out.append(finalize(pending.popleft()))
+
+    for url, html, text in records:
+        d = [url, None, 0, None, 0, []]
+        try:
+            d[1] = extracted = _payload_to_text(html, text)
             if cfg.use_ner and extracted:
                 chunks = build_chunks(
                     extracted, tokenizer,
@@ -415,32 +470,19 @@ def extract_page_batch(
                     boundary_backoff=cfg.boundary_backoff,
                     hard_split=cfg.hard_split,
                 )
-                n_chunks = len(chunks)
-                for ch in chunks:
-                    offs = tokenizer.encode(ch.text)
-                    if offs:
-                        flat.append((i, ch, offs))
-            prep.append((url, extracted, n_chunks, None))
+                d[2] = len(chunks)
+                with_offs = [(ch, offs) for ch in chunks
+                             if (offs := tokenizer.encode(ch.text))]
+                d[4] = len(with_offs)
+                buf.extend((d, ch, offs) for ch, offs in with_offs)
         except Exception as e:  # noqa: BLE001 — per-page quarantine
-            prep.append((url, None, 0, e))
-        n_flat.append(len(flat) - n0)
-
-    # Phase 2+3: stream emissions in cross-document groups, finalize each
-    # document as soon as its chunks are through (no corpus-sized buffers).
-    it = _emit_flat(flat, emitter, cfg.batch_size)
-    out: list[dict | Exception] = []
-    for (url, extracted, n_chunks, err), k in zip(prep, n_flat):
-        doc_items = [next(it) for _ in range(k)]
-        if err is not None:
-            out.append(err)
-            continue
-        try:
-            ner = _decode_chunk_emissions(
-                ((ch, offs, em) for _i, ch, offs, em in doc_items),
-                n_chunks, cfg, ctx,
-            ) if n_chunks else []
-            spans, public = _finalize_document(extracted, ner, cfg)
-            out.append(_page_record(url, extracted, spans, public))
-        except Exception as e:  # noqa: BLE001 — per-page quarantine
-            out.append(e)
+            d[3], d[4] = e, 0
+            # chunks already buffered before the error still emit (wasted
+            # work, harmless); zero n_left means the err wins at finalize
+            d[4] = sum(1 for b in buf if b[0] is d)
+        pending.append(d)
+        pump(drain=False)
+    pump(drain=True)
+    while pending:  # zero-chunk docs trailing the last group
+        out.append(finalize(pending.popleft()))
     return out

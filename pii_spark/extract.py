@@ -81,8 +81,11 @@ def _extract_batches(cfg: ExtractConfig, passthrough: tuple[str, ...] = ()):
             # Arrow batch share emit_batch forward passes in groups of
             # cfg.batch_size, so a real GPU emitter stays saturated on
             # short-doc (single-chunk) web corpora. Per-doc chunk order —
-            # and so fp32 accumulation order — is unchanged: output is
-            # byte-identical to the per-page path at any partition count.
+            # and so fp32 accumulation order — is unchanged, and emissions
+            # are composition-invariant (stub: pure per-chunk; transformer:
+            # fixed-width pad_to_max padding): output is byte-identical to
+            # the per-page path at any partition count. Emitter failures
+            # isolate per page (pipeline._emit_group), never kill the task.
             recs = extract_page_batch(
                 zip(urls, htmls, texts), cfg, emitter, tokenizer)
             for url, rec in zip(urls, recs):

@@ -296,11 +296,14 @@ def register_queries(register) -> None:
         ``JACCARD_EXACT_MAX_DOCS`` guard below make that contract part of
         the API, not just this docstring."""
         docs = _near_union_df(spark, sf_dir)
-        n_docs = docs.count()
-        if n_docs > JACCARD_EXACT_MAX_DOCS:
+        # Bounded probe: limit(N+1).count() answers over/under without
+        # materializing the whole corpus — at exactly the sizes this gate
+        # refuses, a full count() would itself be an extra corpus pass.
+        probed = docs.limit(JACCARD_EXACT_MAX_DOCS + 1).count()
+        if probed > JACCARD_EXACT_MAX_DOCS:
             raise ValueError(
-                f"dedup_jaccard_exact_smallscale: corpus has {n_docs} docs "
-                f"(> {JACCARD_EXACT_MAX_DOCS}); the all-pairs shared-shingle "
+                f"dedup_jaccard_exact_smallscale: corpus exceeds "
+                f"{JACCARD_EXACT_MAX_DOCS} docs; the all-pairs shared-shingle "
                 "join is quadratic on hot shingles and must not run at this "
                 "scale — use dedup_lsh_jaccard (LSH-pruned exact Jaccard) "
                 "or raise pii_spark.ops.dedup.JACCARD_EXACT_MAX_DOCS if you "

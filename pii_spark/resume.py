@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +68,43 @@ def _committed_schema():
     )
 
 
+def _lineage_schema():
+    """Read schema for the lineage dir (hive-partitioned by run_id, same
+    STRING pinning rationale as ``_committed_schema``)."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return T.StructType([
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("docs", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), True),
+        T.StructField("spans_by_type",
+                      T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("run_id", T.StringType(), False),
+    ])
+
+
+def _unescape_hive(name: str) -> str:
+    """Invert Spark/Hive partition-path escaping (%XX per special char)."""
+    return re.sub("%([0-9A-Fa-f]{2})",
+                  lambda m: chr(int(m.group(1), 16)), name)
+
+
+def _run_partition_dirs(base: str, run_id: str) -> list[str]:
+    """On-disk ``run_id=<id>`` partition dirs for ``run_id`` under ``base``.
+
+    Spark hive-ESCAPES special characters when writing partition dirs (a
+    run_id like ``2026-08-16T10:30:00`` lands as ``...10%3A30%3A00``), so a
+    path built by f-string would silently miss it; match by unescaping the
+    directory names instead."""
+    if not os.path.isdir(base):
+        return []
+    return [
+        os.path.join(base, d) for d in os.listdir(base)
+        if d.startswith("run_id=") and os.path.isdir(os.path.join(base, d))
+        and _unescape_hive(d[len("run_id="):]) == run_id
+    ]
+
+
 def _commits_dir(results_dir: str) -> str:
     # underscore prefix: invisible to Spark's parquet reader AND to _exists
     return os.path.join(results_dir, "_commits")
@@ -87,6 +125,10 @@ def committed_run_ids(results_dir: str) -> list[str]:
 
 def _reserve(results_dir: str, run_id: str) -> None:
     """Atomically claim ``run_id`` (O_CREAT|O_EXCL) before any write."""
+    if not run_id or "/" in run_id or "\x00" in run_id or run_id.startswith("."):
+        raise ValueError(
+            f"run_id {run_id!r} is not a safe marker filename: must be "
+            "non-empty, contain no '/' or NUL, and not start with '.'")
     d = _commits_dir(results_dir)
     os.makedirs(d, exist_ok=True)
     if os.path.exists(_marker_path(results_dir, run_id)):
@@ -180,9 +222,16 @@ def run_incremental(
     n = committed.count()
     if n:
         lineage = lineage_from_results(committed, run_id)
-        lineage.write.mode("append").parquet(lineage_dir)
+        _append_lineage(lineage, lineage_dir)
     _write_marker(results_dir, run_id, n)
     return {"run_id": run_id, "docs": n}
+
+
+def _append_lineage(lineage: DataFrame, lineage_dir: str) -> None:
+    """Lineage appends hive-partitioned by run_id — same layout as results —
+    so ``vacuum_uncommitted`` can discard a crashed run's lineage rows with
+    a driver-side rmtree instead of rewriting the side table."""
+    lineage.write.mode("append").partitionBy("run_id").parquet(lineage_dir)
 
 
 def adopt_crashed_runs(
@@ -218,23 +267,29 @@ def adopt_crashed_runs(
                 "already committed; adopting it would double-commit — use "
                 "vacuum_uncommitted to discard it instead")
         n = res.count()
-        if n and not _lineage_has_run(spark, lineage_dir, rid):
-            lineage_from_results(res, rid).write.mode("append").parquet(
-                lineage_dir)
+        if n and not _lineage_has_run(lineage_dir, rid):
+            _append_lineage(lineage_from_results(res, rid), lineage_dir)
         _write_marker(results_dir, rid, n)
         adopted.append(rid)
     return adopted
 
 
-def vacuum_uncommitted(results_dir: str) -> list[str]:
-    """Discard crashed increments: delete unmarked runs' results partitions
-    and release their reservations. Driver-side file ops over O(runs)
-    entries — never a Spark job. Must not race a live increment (the
-    single-operator assumption under which run_incremental is documented)."""
+def vacuum_uncommitted(results_dir: str, lineage_dir: str) -> list[str]:
+    """Discard crashed increments: delete unmarked runs' results AND lineage
+    partitions, then release their reservations. Deleting lineage too is
+    load-bearing: a run that crashed between the lineage append and the
+    marker left orphan lineage rows, and releasing the reservation without
+    removing them would let a reused run_id double-count in
+    ``lineage_summary``. Partition dirs are located by UNESCAPING hive names
+    (``_run_partition_dirs``) — a path built by f-string misses escaped ids.
+    Driver-side file ops over O(runs) entries — never a Spark job. Must not
+    race a live increment (the single-operator assumption under which
+    run_incremental is documented)."""
     removed = []
     for rid in _uncommitted_run_ids(results_dir):
-        part = os.path.join(results_dir, f"run_id={rid}")
-        if os.path.isdir(part):
+        for part in _run_partition_dirs(results_dir, rid):
+            shutil.rmtree(part)
+        for part in _run_partition_dirs(lineage_dir, rid):
             shutil.rmtree(part)
         os.remove(os.path.join(_commits_dir(results_dir), f"{rid}.reserved"))
         removed.append(rid)
@@ -250,27 +305,24 @@ def _uncommitted_run_ids(results_dir: str) -> list[str]:
     return sorted(reserved - set(committed_run_ids(results_dir)))
 
 
-def _lineage_has_run(spark: SparkSession, lineage_dir: str,
-                     run_id: str) -> bool:
-    if not _exists(lineage_dir):
-        return False
-    return bool(
-        spark.read.parquet(lineage_dir)
-        .where(F.col("run_id") == run_id).limit(1).count()
-    )
+def _lineage_has_run(lineage_dir: str, run_id: str) -> bool:
+    """A run's lineage landed iff its hive partition dir exists (escape-
+    aware): cheaper and crash-equivalent to scanning the parquet."""
+    return bool(_run_partition_dirs(lineage_dir, run_id))
 
 
 def lineage_summary(
-    spark: SparkSession, lineage_dir: str, results_dir: str | None = None,
+    spark: SparkSession, lineage_dir: str, results_dir: str,
 ) -> DataFrame:
     """Roll lineage up per run: docs, bytes, spans by type (map-merge).
-    When ``results_dir`` is given, only MARKED runs surface — lineage rows
+    ``results_dir`` is REQUIRED: only MARKED runs surface, so lineage rows
     from a run that crashed before its commit marker are invisible, exactly
-    like its results."""
-    lin = spark.read.parquet(lineage_dir)
-    if results_dir is not None:
-        lin = lin.where(F.col("run_id").isin(
-            committed_run_ids(results_dir) or [""]))
+    like its results. (An optional-filter variant would silently resurface
+    orphan rows for any caller using the old 2-arg form — the exact state
+    the commit-marker protocol exists to make impossible.)"""
+    lin = spark.read.schema(_lineage_schema()).parquet(lineage_dir)
+    lin = lin.where(F.col("run_id").isin(
+        committed_run_ids(results_dir) or [""]))
     exploded = lin.select(
         "run_id", "docs", "bytes", F.explode_outer("spans_by_type").alias("type", "n")
     )

@@ -198,3 +198,39 @@ def test_cross_document_forward_batching_saturates():
     assert total_chunks >= len(pages)  # every page contributed >= 1 chunk
     assert len(em.calls) == math.ceil(total_chunks / 8)
     assert all(c == 8 for c in em.calls[:-1]) and em.calls[-1] <= 8
+
+
+def test_emitter_failure_quarantines_only_its_page():
+    """An EMITTER exception (model OOM, tokenizer-adapter error on one
+    pathological chunk) must quarantine only the page that caused it: the
+    group retries per chunk, neighbors sharing the forward group get real
+    emissions, and extract_page_batch never raises (a raise would abort the
+    whole Spark task and, after retries, the cluster job)."""
+    from pii_core.ner_stub import StubEmitter
+    from pii_core.pipeline import extract_page, extract_page_batch
+    from pii_spark.synth import gen_pages
+
+    poison = "GATILHO_DO_MODELO"
+
+    class FlakyEmitter(StubEmitter):
+        def emit_batch(self, texts, offsets_list):
+            if any(poison in t for t in texts):
+                raise RuntimeError("model exploded on pathological input")
+            return super().emit_batch(texts, offsets_list)
+
+    pages = [(p["url"], p["html"], p["text"]) for p in gen_pages(20, seed=9)]
+    pages.insert(7, ("poisoned", None, f"texto com {poison} no meio"))
+    cfg = ExtractConfig(batch_size=8)
+    recs = extract_page_batch(pages, cfg, FlakyEmitter(), cfg.make_tokenizer())
+    assert len(recs) == len(pages)
+    bad = [(u, r) for (u, _h, _t), r in zip(pages, recs)
+           if isinstance(r, Exception)]
+    assert [u for u, _ in bad] == ["poisoned"]
+    assert "model exploded" in str(bad[0][1])
+    # neighbors (including ones that shared the poisoned forward group)
+    # match the per-page healthy-emitter output exactly
+    healthy = StubEmitter()
+    for (url, html, text), rec in zip(pages, recs):
+        if url != "poisoned":
+            assert rec == extract_page(url, html, text, cfg, healthy,
+                                       cfg.make_tokenizer()), url

@@ -190,9 +190,20 @@ def test_crashed_run_is_invisible_and_retry_never_double_counts(
     assert summ["r1"]["docs"] == 8 and summ["r3"]["docs"] == 4
     assert "r2" not in summ
 
-    # housekeeping: vacuum deletes the crashed partition + reservation
-    assert resume.vacuum_uncommitted(rdir) == ["r2"]
+    # housekeeping: vacuum deletes the crashed partition + reservation +
+    # any orphan lineage rows, releasing the id for reuse
+    assert resume.vacuum_uncommitted(rdir, ldir) == ["r2"]
     assert spark.read.parquet(rdir).count() == 12
+
+    # reusing the vacuumed id must NOT double-count lineage: the crashed
+    # r2's orphan lineage rows (when the crash hit between the lineage
+    # append and the marker) were deleted along with its results
+    out = run_incremental(spark, pages_df(spark, 14, seed=3), rdir, ldir,
+                          "r2", num_partitions=2)
+    assert out["docs"] == 2
+    summ = {r["run_id"]: r
+            for r in lineage_summary(spark, ldir, rdir).collect()}
+    assert summ["r2"]["docs"] == 2  # not 2 + the crashed run's 4
 
 
 def test_adopt_crashed_run_salvages_landed_results(
@@ -239,7 +250,34 @@ def test_adopt_refuses_after_later_increment_overlaps(
     # ...so adopting r1 now would commit each url twice — refuse
     with pytest.raises(ValueError, match="double-commit"):
         resume.adopt_crashed_runs(spark, rdir, ldir)
-    assert resume.vacuum_uncommitted(rdir) == ["r1"]
+    assert resume.vacuum_uncommitted(rdir, ldir) == ["r1"]
+
+
+def test_vacuum_handles_hive_escaped_run_ids(spark, tmp_path, monkeypatch):
+    # A natural run id like a timestamp contains ':', which Spark
+    # hive-escapes in the partition dir name (run_id=...10%3A30%3A00).
+    # vacuum must find the dir by UNESCAPING, not by f-string path building
+    # — else stale partials persist while the reservation is released.
+    import pii_spark.resume as resume
+
+    rid = "2026-08-16T10:30:00"
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    _crash_before_marker(monkeypatch)
+    with pytest.raises(RuntimeError, match="crash"):
+        run_incremental(spark, pages_df(spark, 6, seed=3), rdir, ldir, rid,
+                        num_partitions=2)
+    monkeypatch.undo()
+
+    assert resume.vacuum_uncommitted(rdir, ldir) == [rid]
+    import os as _os
+    assert not any(d.startswith("run_id=") for d in _os.listdir(rdir))
+    assert (not _os.path.isdir(ldir)
+            or not any(d.startswith("run_id=")
+                       for d in _os.listdir(ldir)))
+    # the id is genuinely reusable afterwards
+    out = run_incremental(spark, pages_df(spark, 6, seed=3), rdir, ldir, rid,
+                          num_partitions=2)
+    assert out["docs"] == 6
 
 
 @pytest.fixture()
