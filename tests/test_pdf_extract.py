@@ -103,3 +103,71 @@ def test_never_raises_on_pdf_prefixed_garbage(b):
     out = pdf_to_text(b"%PDF-" + b)
     assert isinstance(out, str)
     assert pdf_to_text(b"%PDF-" + b) == out  # deterministic
+
+
+# =========================================================================
+# Mutation fuzz: corrupted real-world-shaped PDFs (HTML fuzz suite twin)
+# =========================================================================
+# Wild crawls carry truncated downloads, proxy-mangled bytes, and spliced
+# responses. Each VALID synthetic PDF is hit with seeded mutations
+# (truncate, byte flips, slice deletion/duplication, garbage splice) and
+# the frozen-spec contract is asserted: pdf_to_text NEVER raises, is
+# deterministic, and the full pipeline (extract_page_batch) either returns
+# a well-formed record or quarantines that page as an Exception — a
+# corrupt PDF must never abort the batch.
+
+def _mutations(data: bytes, seed: int) -> list[bytes]:
+    import random
+
+    rng = random.Random(seed)
+    n = len(data)
+    ba = bytearray(data)
+    for _ in range(rng.randint(1, 8)):  # random byte flips
+        ba[rng.randrange(n)] = rng.randrange(256)
+    cut_a, cut_b = sorted(rng.randrange(n) for _ in range(2))
+    return [
+        data[: rng.randrange(1, n)],                       # truncation
+        bytes(ba),                                         # byte flips
+        data[:cut_a] + data[cut_b:],                       # slice deleted
+        data[:cut_b] + data[cut_a:cut_b] + data[cut_b:],   # slice doubled
+        data[:cut_a] + bytes(rng.randrange(256) for _ in range(40))
+        + data[cut_a:],                                    # garbage splice
+        data + data[: cut_a or 1],                         # trailing junk
+    ]
+
+
+def test_fuzz_mutated_pdfs_never_raise_and_never_poison_the_batch():
+    from pii_core.pipeline import extract_page_batch
+    from pii_spark.synth import gen_pdf_page
+
+    base = [gen_pdf_page(i, seed=13)["html"] for i in range(12)]
+    base.append(mk_pdf(
+        b"BT (Processo 98765 com CPF 529.982.247-25) Tj ET",
+        b"BT [(Con) -120 (tato:) ] TJ ( x@y.org) Tj 0 -14 Td (fim) Tj ET",
+    ))
+    mutants: list[bytes] = []
+    for seed, pdf in enumerate(base * 16):
+        mutants.extend(_mutations(pdf, seed))
+    assert len(mutants) >= 1000
+
+    for m in mutants:
+        out = pdf_to_text(m)  # must never raise
+        assert isinstance(out, str)
+        assert pdf_to_text(m) == out  # deterministic
+
+    # the mutants ride through the batched pipeline alongside a healthy
+    # page; every element must be a record or a quarantined Exception, and
+    # the healthy neighbor must come out intact
+    healthy = ("ok", mk_pdf(b"BT (Contato: maria@example.com) Tj ET"), None)
+    rows = [(f"m{i}", m, None) for i, m in enumerate(mutants[:200])]
+    rows.insert(50, healthy)
+    recs = extract_page_batch(rows)
+    assert len(recs) == len(rows)
+    for (url, _h, _t), rec in zip(rows, recs):
+        assert isinstance(rec, (dict, Exception)), url
+        if isinstance(rec, dict):
+            assert set(rec) >= {"url", "extracted_text", "spans",
+                                "should_be_public"}
+    ok = recs[50]
+    assert isinstance(ok, dict) and "maria@example.com" in ok["extracted_text"]
+    assert ok["should_be_public"] is False
