@@ -2,6 +2,7 @@
 decision logic, detector/NER union."""
 
 import numpy as np
+from hypothesis import given, settings, strategies as st
 
 from pii_core.labels import PII_TYPES
 from pii_core.pipeline import ExtractConfig, extract_document, extract_page
@@ -198,6 +199,48 @@ def test_cross_document_forward_batching_saturates():
     assert total_chunks >= len(pages)  # every page contributed >= 1 chunk
     assert len(em.calls) == math.ceil(total_chunks / 8)
     assert all(c == 8 for c in em.calls[:-1]) and em.calls[-1] <= 8
+
+
+_WORDS = ["processo", "acesso", "Maria Silva", "CPF 529.982.247-25",
+          "contato x@y.org", "Rua das Flores, 10", "ABC-1234", "&", "<p>",
+          "informacao", "ã é ç", "12345-678901/2020-11", "", "zzzz" * 30]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_batch_vs_per_page_parity_property(data):
+    """Randomized twin of the fixed-corpus parity test: for ANY corpus of
+    small documents (html / raw text / empty / None payloads, entity
+    snippets at random positions), any batch_size, and a random chunk
+    geometry, extract_page_batch must equal per-page extract_page
+    elementwise — quarantined pages included (same exception type)."""
+    from pii_core.pipeline import extract_page, extract_page_batch
+
+    st_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=25) \
+        .map(" ".join)
+    docs = data.draw(st.lists(st_doc, min_size=1, max_size=12))
+    max_length = data.draw(st.integers(16, 64))
+    stride = data.draw(st.integers(0, min(15, max_length - 3)))
+    cfg = ExtractConfig(max_length=max_length, stride=stride,
+                        batch_size=data.draw(st.integers(1, 7)))
+    pages = []
+    for i, txt in enumerate(docs):
+        kind = data.draw(st.sampled_from(["html", "text", "none"]))
+        if kind == "html":
+            pages.append((f"u{i}", f"<body><p>{txt}</p></body>".encode(), None))
+        elif kind == "text":
+            pages.append((f"u{i}", None, txt))
+        else:
+            pages.append((f"u{i}", None, None))
+    got = extract_page_batch(pages, cfg)
+    assert len(got) == len(pages)
+    for (url, html, text), rec in zip(pages, got):
+        try:
+            want = extract_page(url, html, text, cfg)
+        except Exception as e:  # noqa: BLE001 — parity includes failures
+            assert isinstance(rec, type(e)), url
+            continue
+        assert rec == want, url
 
 
 def test_emitter_failure_quarantines_only_its_page():

@@ -148,3 +148,22 @@ def test_extraction_scan_column_pruned(spark, sfd, tmp_path):
     scan = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
     assert "warc_ts" not in scan and "lang" not in scan
     assert "html" in scan and "url" in scan
+
+
+def test_redaction_is_pure_projection_no_exchange_no_python(spark, tmp_path):
+    """Redacting a 100 TB results table must be ONE codegen projection:
+    the aggregate-HOF splice stays JVM-side (no Python eval node) and adds
+    no Exchange over the stored results."""
+    from pii_spark.extract import extract_pages
+    from pii_spark.ops.redact import redact_results
+    from pii_spark.synth import pages_df
+
+    p = str(tmp_path / "res")
+    extract_pages(pages_df(spark, 30, seed=2), num_partitions=2) \
+        .write.parquet(p)
+    for mode in ("tag", "mask"):
+        plan = _plan(redact_results(spark.read.parquet(p), mode))
+        assert "Exchange" not in plan, mode
+        assert "BatchEvalPython" not in plan, mode
+        assert "ArrowEvalPython" not in plan, mode
+        assert "MapInPandas" not in plan, mode
