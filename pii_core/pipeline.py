@@ -77,6 +77,11 @@ class ExtractConfig:
     # StubEmitter + WordTokenizer path runs, byte-identical as before.
     model_path: str | None = None
     model_device: str = "cpu"
+    # True (default): the transformer emitter pads every forward to the
+    # fixed max_length width, so a chunk's logits never depend on which
+    # neighbors share its batch (the partition-invariance contract). False
+    # trades bitwise run-to-run identity for pad-to-longest throughput.
+    pad_to_max: bool = True
 
     def __post_init__(self) -> None:
         # Eager validation: a bad config must fail at CONSTRUCTION (driver /
@@ -87,17 +92,22 @@ class ExtractConfig:
         # Budget = max_length - num_special_tokens. The special count is a
         # property of the tokenizer: exactly 2 for the stub WordTokenizer
         # (model_path None), but a transformer checkpoint's tokenizer may
-        # add 1-3 — and it only exists on the executor. So the EXACT check
-        # runs eagerly on the stub path; the model path gets the loosest
-        # sound bound here (0 specials) and the chunker re-validates with
-        # the real count at first use (chunking.py raises on
-        # stride >= budget), which is as early as that tokenizer exists.
-        specials = 2 if self.model_path is None else 0
+        # add 1-3 — and it only exists on the executor. The model path is
+        # therefore checked against a CONSERVATIVE worst case (4 specials):
+        # a degenerate stride must fail HERE at construction, because on
+        # the executor the chunker's raise lands inside the per-page
+        # quarantine — a systemic config error would silently fail-close
+        # the ENTIRE corpus (every url anti-joined away as "done" with zero
+        # spans) instead of failing the submit. A tokenizer with >4
+        # specials still fails at first use, loudly, per page.
+        specials = 2 if self.model_path is None else 4
         budget = int(self.max_length) - specials
         if not (0 <= self.stride < budget):
             raise ValueError(
                 f"stride must satisfy 0 <= stride < max_length - "
-                f"{specials} = {budget}; got {self.stride}")
+                f"{specials} = {budget}; got {self.stride}"
+                + ("" if self.model_path is None else
+                   " (model-path bound assumes up to 4 special tokens)"))
         if self.boundary_backoff < 0:
             raise ValueError(
                 f"boundary_backoff must be >= 0, got {self.boundary_backoff}")
@@ -129,7 +139,7 @@ class ExtractConfig:
 
             emitter = load_transformer_emitter(
                 self.model_path, device=self.model_device,
-                max_length=self.max_length)
+                max_length=self.max_length, pad_to_max=self.pad_to_max)
             return emitter, emitter.tokenizer_adapter
         return StubEmitter(), self.make_tokenizer()
 
@@ -385,14 +395,26 @@ def _emit_group(group, emitter: Emitter, emit_batch):
     offsets = [offs for _, _, offs in group]
     if emit_batch is not None:
         try:
-            return emit_batch(texts, offsets)
+            ems = list(emit_batch(texts, offsets))
+            if len(ems) == len(group):
+                return ems
+            # wrong count is an emitter contract bug: fall through to the
+            # per-chunk path so the miscounted batch can't silently pair
+            # emissions with the wrong chunks (zip would truncate)
         except Exception:  # noqa: BLE001 — isolate below
             pass
     out = []
     for text, offs in zip(texts, offsets):
         try:
-            out.append(emit_batch([text], [offs])[0] if emit_batch is not None
-                       else emitter(text, offs))
+            if emit_batch is not None:
+                one = list(emit_batch([text], [offs]))
+                if len(one) != 1:
+                    raise RuntimeError(
+                        f"emit_batch returned {len(one)} emissions for 1 "
+                        "chunk")
+                out.append(one[0])
+            else:
+                out.append(emitter(text, offs))
         except Exception as e:  # noqa: BLE001 — per-page quarantine
             out.append(e)
     return out
@@ -498,13 +520,19 @@ def extract_page_batch(
                 d[4] = len(with_offs)
                 buf.extend((d, ch, offs) for ch, offs in with_offs)
         except Exception as e:  # noqa: BLE001 — per-page quarantine
+            # nothing of this doc is in buf: chunks buffer only via the
+            # buf.extend that is the try block's last statement
             d[3], d[4] = e, 0
-            # chunks already buffered before the error still emit (wasted
-            # work, harmless); zero n_left means the err wins at finalize
-            d[4] = sum(1 for b in buf if b[0] is d)
         pending.append(d)
         pump(drain=False)
     pump(drain=True)
     while pending:  # zero-chunk docs trailing the last group
-        out.append(finalize(pending.popleft()))
+        d = pending.popleft()
+        if d[4] != 0 and d[3] is None:
+            # every buffered chunk was pumped, so a nonzero n_left means an
+            # internal accounting bug — quarantine loudly, never decode a
+            # partial emission stream into a plausible-but-wrong record
+            d[3] = RuntimeError(
+                f"internal: {d[4]} emissions missing for {d[0]!r}")
+        out.append(finalize(d))
     return out

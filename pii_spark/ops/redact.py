@@ -24,11 +24,30 @@ from pii_core.redact import MODES
 def redact_expr(text: Column, spans: Column, mode: str = "tag") -> Column:
     """Column expression: ``text`` with PII spans replaced per ``mode``
     ("tag" -> ``[TYPE]``, "mask" -> ``*`` x length). ``spans`` must be the
-    pipeline's merged/resolved array (sorted, non-overlapping)."""
+    pipeline's merged/resolved array (sorted, non-overlapping) — malformed
+    arrays RAISE at execution, mirroring ``pii_core.redact.redact``'s hard
+    error: a mis-splice here would re-emit PII interior into the
+    "redacted" text, so fail-open is not an option."""
     if mode not in MODES:
         raise ValueError(f"unknown redaction mode: {mode!r} (use tag|mask)")
     pii_types = list(PII_TYPES)
     pii = F.filter(spans, _is_pii_factory(pii_types))
+
+    # Validity sweep (same aggregate shape as the splice): the cursor only
+    # ever moves forward, so sortedness + non-overlap + in-bounds reduce to
+    # "every span starts at or after the cursor and ends inside the text".
+    valid = F.aggregate(
+        pii,
+        F.struct(F.lit(0).alias("pos"), F.lit(True).alias("ok")),
+        lambda acc, s: F.struct(
+            s["end"].alias("pos"),
+            (acc["ok"] & (s["start"] >= acc["pos"])
+             & (s["end"] >= s["start"])
+             & (s["end"] <= F.length(text))).alias("ok"),
+        ),
+        lambda acc: acc["ok"],
+    )
+
     init = F.struct(F.lit(0).alias("pos"), F.lit("").alias("acc"))
 
     def merge(acc: Column, s: Column) -> Column:
@@ -43,12 +62,16 @@ def redact_expr(text: Column, spans: Column, mode: str = "tag") -> Column:
             ).alias("acc"),
         )
 
-    return F.aggregate(
+    splice = F.aggregate(
         pii, init, merge,
         lambda acc: F.concat(acc["acc"],
                              F.substring(text, acc["pos"] + 1,
                                          F.length(text) - acc["pos"])),
     )
+    return F.when(valid, splice).otherwise(F.raise_error(F.lit(
+        "redact_expr: spans array is not sorted/non-overlapping/in-bounds "
+        "(requires merge_and_resolve output) — refusing a mis-splice that "
+        "could leak PII")))
 
 
 def _is_pii_factory(pii_types: list[str]):

@@ -227,10 +227,67 @@ def run_incremental(
     return {"run_id": run_id, "docs": n}
 
 
+def _flat_lineage_files(lineage_dir: str) -> list[str]:
+    """Top-level parquet data files from the PRE-partitioned lineage layout
+    (run_id as a data column). Spark's partition discovery IGNORES these
+    once any ``run_id=`` dir exists in the same directory, so mixing the
+    layouts would silently drop every legacy row from ``lineage_summary``
+    — writers and readers refuse instead (see ``migrate_lineage_layout``)."""
+    if not os.path.isdir(lineage_dir):
+        return []
+    return sorted(
+        os.path.join(lineage_dir, f) for f in os.listdir(lineage_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+        and os.path.isfile(os.path.join(lineage_dir, f))
+    )
+
+
+def _require_partitioned_layout(lineage_dir: str) -> None:
+    if _flat_lineage_files(lineage_dir):
+        raise ValueError(
+            f"lineage dir {lineage_dir!r} holds flat-layout parquet files "
+            "from a pre-partitioned version; run "
+            "pii_spark.resume.migrate_lineage_layout(spark, lineage_dir) "
+            "first — mixing layouts would silently drop the legacy rows")
+
+
+def migrate_lineage_layout(spark: SparkSession, lineage_dir: str) -> int:
+    """One-time upgrade of a legacy flat lineage dir (run_id as a data
+    column) to the hive-partitioned layout. Returns migrated row count.
+
+    Steps: read the flat files explicitly → rewrite partitioned into a
+    sibling ``<dir>.migrated`` → delete the flat files → move the partition
+    dirs in. Re-runnable: a crash before the flat-file delete just rewrites
+    the staging dir; a crash after it is completed by the move step on the
+    next call (staging is only deleted once its partitions are in place)."""
+    staging = lineage_dir.rstrip("/") + ".migrated"
+    flat = _flat_lineage_files(lineage_dir)
+    n = 0
+    if flat:
+        df = spark.read.parquet(*flat).withColumn(
+            "run_id", F.col("run_id").cast("string"))
+        n = df.count()
+        df.write.mode("overwrite").partitionBy("run_id").parquet(staging)
+        for f in flat:
+            os.remove(f)
+    if os.path.isdir(staging):
+        for d in os.listdir(staging):
+            if d.startswith("run_id="):
+                dst = os.path.join(lineage_dir, d)
+                if os.path.isdir(dst):  # merge partition contents
+                    for part in os.listdir(os.path.join(staging, d)):
+                        shutil.move(os.path.join(staging, d, part), dst)
+                else:
+                    shutil.move(os.path.join(staging, d), dst)
+        shutil.rmtree(staging)
+    return n
+
+
 def _append_lineage(lineage: DataFrame, lineage_dir: str) -> None:
     """Lineage appends hive-partitioned by run_id — same layout as results —
     so ``vacuum_uncommitted`` can discard a crashed run's lineage rows with
     a driver-side rmtree instead of rewriting the side table."""
+    _require_partitioned_layout(lineage_dir)
     lineage.write.mode("append").partitionBy("run_id").parquet(lineage_dir)
 
 
@@ -320,6 +377,7 @@ def lineage_summary(
     like its results. (An optional-filter variant would silently resurface
     orphan rows for any caller using the old 2-arg form — the exact state
     the commit-marker protocol exists to make impossible.)"""
+    _require_partitioned_layout(lineage_dir)
     lin = spark.read.schema(_lineage_schema()).parquet(lineage_dir)
     lin = lin.where(F.col("run_id").isin(
         committed_run_ids(results_dir) or [""]))

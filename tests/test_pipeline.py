@@ -243,6 +243,54 @@ def test_batch_vs_per_page_parity_property(data):
         assert rec == want, url
 
 
+def test_short_emit_batch_never_silently_truncates():
+    """An emitter that violates the count contract (returns fewer emissions
+    than chunks) must not let zip-truncation pair emissions with the wrong
+    chunks: the group retries per chunk, and pages whose single-chunk call
+    also miscounts quarantine with a loud contract error."""
+    from pii_core.ner_stub import StubEmitter
+    from pii_core.pipeline import extract_page, extract_page_batch
+    from pii_spark.synth import gen_pages
+
+    class ShortEmitter(StubEmitter):
+        def emit_batch(self, texts, offsets_list):
+            out = super().emit_batch(texts, offsets_list)
+            return out[:-1] if len(out) > 1 else []
+
+    pages = [(p["url"], p["html"], p["text"]) for p in gen_pages(10, seed=4)]
+    cfg = ExtractConfig(batch_size=4)
+    recs = extract_page_batch(pages, cfg, ShortEmitter(), cfg.make_tokenizer())
+    assert len(recs) == len(pages)
+    # every page either quarantined with the contract error, or (docs with
+    # zero emission-needing chunks) matches the healthy per-page record
+    healthy = StubEmitter()
+    for (url, html, text), rec in zip(pages, recs):
+        if isinstance(rec, Exception):
+            assert "emissions" in str(rec), url
+        else:
+            assert rec == extract_page(url, html, text, cfg, healthy,
+                                       cfg.make_tokenizer()), url
+    assert any(isinstance(r, Exception) for r in recs)
+
+
+def test_model_path_config_rejects_degenerate_stride_eagerly():
+    """A stride that can't fit any realistic transformer budget must fail
+    at CONSTRUCTION (submit time): on the executor the chunker's raise
+    lands in the per-page quarantine, which would silently fail-close an
+    entire corpus run."""
+    import pytest
+
+    with pytest.raises(ValueError, match="stride"):
+        ExtractConfig(model_path="some/checkpoint", max_length=512,
+                      stride=511)
+    # ...while a normal config with a model path still constructs,
+    # with the padding-determinism knob plumbed through
+    cfg = ExtractConfig(model_path="some/checkpoint", stride=64,
+                        pad_to_max=False)
+    assert cfg.pad_to_max is False
+    assert ExtractConfig().pad_to_max is True
+
+
 def test_emitter_failure_quarantines_only_its_page():
     """An EMITTER exception (model OOM, tokenizer-adapter error on one
     pathological chunk) must quarantine only the page that caused it: the

@@ -53,6 +53,36 @@ def test_overlap_and_bounds_are_hard_errors():
         redact("abc", [], mode="blackout")
 
 
+def test_spark_redactor_refuses_malformed_spans(spark):
+    """The JVM splice must mirror pii_core's hard error on malformed span
+    arrays: a contained/unsorted span would rewind the cursor and re-emit
+    PII interior into 'redacted' text — raise, never mis-splice."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from pii_spark.ops.redact import redact_expr
+    from pii_spark.schemas import SPAN_STRUCT
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("t", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT, False)),
+    ])
+    # SPAN_STRUCT order: (type, start, end, value, conf, n_tokens)
+    df = spark.createDataFrame(
+        [("abcdefghijklmno",
+          [("CONTATO", 0, 10, "abcdefghij", 1.0, 1),
+           ("NOME_PESSOA", 2, 4, "cd", 1.0, 1)])], schema)
+    with pytest.raises(Exception, match="refusing a mis-splice"):
+        df.select(redact_expr(F.col("t"), F.col("spans"), "mask")).collect()
+    # out-of-bounds span: same refusal
+    df2 = spark.createDataFrame(
+        [("abc", [("CONTATO", 0, 9, "x", 1.0, 1)])], schema)
+    with pytest.raises(Exception, match="refusing a mis-splice"):
+        df2.select(redact_expr(F.col("t"), F.col("spans"), "tag")).collect()
+
+
 def test_spark_redaction_parity(spark):
     """The JVM aggregate-HOF splice must byte-match pii_core.redact on real
     extraction output, both modes, including pages with zero spans and

@@ -253,6 +253,46 @@ def test_adopt_refuses_after_later_increment_overlaps(
     assert resume.vacuum_uncommitted(rdir, ldir) == ["r1"]
 
 
+def test_legacy_flat_lineage_refused_then_migrated(spark, tmp_path):
+    """A lineage dir written by the pre-partitioned layout (run_id as a
+    data column in flat files) must be REFUSED by writers and readers —
+    Spark's partition discovery would silently drop every legacy row once
+    a run_id= dir appears — and migrate_lineage_layout must carry the rows
+    into the partitioned layout losslessly."""
+    import pii_spark.resume as resume
+
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    legacy = spark.createDataFrame(
+        [("r0", 0, 5, 1234, {"CONTATO": 3})],
+        "run_id string, partition_id int, docs long, bytes long, "
+        "spans_by_type map<string,bigint>")
+    legacy.select("partition_id", "docs", "bytes", "spans_by_type",
+                  "run_id").write.mode("append").parquet(ldir)
+
+    with pytest.raises(ValueError, match="migrate_lineage_layout"):
+        run_incremental(spark, pages_df(spark, 4, seed=6), rdir, ldir, "r1",
+                        num_partitions=2)
+    with pytest.raises(ValueError, match="migrate_lineage_layout"):
+        lineage_summary(spark, ldir, rdir)
+
+    assert resume.migrate_lineage_layout(spark, ldir) == 1
+    assert resume.migrate_lineage_layout(spark, ldir) == 0  # idempotent
+
+    # the migrated run is readable once marked; new increments append fine.
+    # (r1's reservation survived the refused attempt — the extraction never
+    # ran, so vacuum releases it and a retry under the same id is clean)
+    assert resume.vacuum_uncommitted(rdir, ldir) == ["r1"]
+    out = run_incremental(spark, pages_df(spark, 4, seed=6), rdir, ldir,
+                          "r1", num_partitions=2)
+    assert out["docs"] == 4
+    resume._write_marker(rdir, "r0", 5)  # mark the legacy run committed
+    summ = {r["run_id"]: r
+            for r in lineage_summary(spark, ldir, rdir).collect()}
+    assert summ["r0"]["docs"] == 5
+    assert summ["r0"]["spans_by_type"] == {"CONTATO": 3}
+    assert summ["r1"]["docs"] == 4
+
+
 def test_vacuum_handles_hive_escaped_run_ids(spark, tmp_path, monkeypatch):
     # A natural run id like a timestamp contains ':', which Spark
     # hive-escapes in the partition dir name (run_id=...10%3A30%3A00).
