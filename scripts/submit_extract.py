@@ -34,6 +34,10 @@ def main() -> int:
         default=None,
         help="unique id for this increment (default: run-<epoch-ms>)")
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument(
+        "--redact", choices=["tag", "mask"], default=None,
+        help="also write publishable redacted text ([TYPE] tags or "
+             "length-preserving * masks) to <output>.redacted/<run_id>")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,6 +64,23 @@ def main() -> int:
         spark, pages, args.output, args.lineage, run_id,
         num_partitions=args.partitions,
     )
+    if args.redact:
+        # one codegen projection over THIS run's committed results — reads
+        # back the landed parquet, never re-runs extraction
+        from pyspark.sql import functions as F
+
+        from pii_spark.ops.redact import redact_results
+        from pii_spark.resume import _committed_schema
+
+        committed = (
+            spark.read.schema(_committed_schema()).parquet(args.output)
+            .where(F.col("run_id") == run_id)
+        )
+        rdir = f"{args.output.rstrip('/')}.redacted/{run_id}"
+        redact_results(committed, args.redact).select(
+            "url", "redacted_text", "should_be_public"
+        ).write.mode("error").parquet(rdir)
+        out["redacted_dir"] = rdir
     print(json.dumps(out))
     spark.stop()
     return 0
