@@ -30,6 +30,16 @@ SENTENCE_ENDS = frozenset({".", "!", "?", "\n"})
 WORD_EXTRA = frozenset({"'", "’", "-", "_"})
 
 
+class ChunkingConfigError(ValueError):
+    """A chunker argument combination that can NEVER work — independent of
+    the document (stride >= budget, no token budget). Distinct from the
+    per-document RuntimeErrors so batch callers can tell "this page is
+    pathological, quarantine it" from "this whole job is misconfigured,
+    abort it": quarantining a config error would silently fail-close an
+    entire corpus (every page an error row, every url then committed as
+    done)."""
+
+
 class Chunk(NamedTuple):
     text: str
     char_start: int
@@ -131,12 +141,14 @@ def build_chunks(
     if not isinstance(text, str) or not text:
         return [Chunk("", 0, 0, 0)]
     if max_length <= 8:
-        raise ValueError(f"max_length too small: {max_length}")
+        raise ChunkingConfigError(f"max_length too small: {max_length}")
     budget = int(max_length) - tokenizer.num_special_tokens
     if budget <= 0:
-        raise ValueError(f"max_length={max_length} leaves no token budget")
+        raise ChunkingConfigError(
+            f"max_length={max_length} leaves no token budget")
     if not (0 <= stride < budget):
-        raise ValueError(f"stride must satisfy 0 <= stride < {budget}; got {stride}")
+        raise ChunkingConfigError(
+            f"stride must satisfy 0 <= stride < {budget}; got {stride}")
     step = budget - stride
 
     offsets = tokenizer.encode(text)

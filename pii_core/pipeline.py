@@ -34,7 +34,7 @@ from typing import Callable
 
 import numpy as np
 
-from pii_core.chunking import build_chunks
+from pii_core.chunking import ChunkingConfigError, build_chunks
 from pii_core.decoding import viterbi_bio
 from pii_core.detectors import detect_spans
 from pii_core.html_extract import html_to_text
@@ -93,13 +93,14 @@ class ExtractConfig:
         # property of the tokenizer: exactly 2 for the stub WordTokenizer
         # (model_path None), but a transformer checkpoint's tokenizer may
         # add 1-3 — and it only exists on the executor. The model path is
-        # therefore checked against a CONSERVATIVE worst case (4 specials):
-        # a degenerate stride must fail HERE at construction, because on
-        # the executor the chunker's raise lands inside the per-page
-        # quarantine — a systemic config error would silently fail-close
-        # the ENTIRE corpus (every url anti-joined away as "done" with zero
-        # spans) instead of failing the submit. A tokenizer with >4
-        # specials still fails at first use, loudly, per page.
+        # therefore checked against a CONSERVATIVE worst case (4 specials)
+        # so a degenerate stride fails HERE at submit time; a tokenizer
+        # with >4 specials slips past this bound but still aborts the job
+        # at the first task, because the chunker raises
+        # ChunkingConfigError, which extract_page_batch RE-RAISES instead
+        # of quarantining — a config error classed as a per-page failure
+        # would silently fail-close the entire corpus (every url
+        # anti-joined away as "done" with zero spans).
         specials = 2 if self.model_path is None else 4
         budget = int(self.max_length) - specials
         if not (0 <= self.stride < budget):
@@ -170,8 +171,14 @@ def _chunk_emissions(chunks, tokenizer, emitter: Emitter, batch_size: int):
                 if (offs := tokenizer.encode(ch.text))]
         if not keep:
             continue
-        ems = emit_batch([ch.text for ch, _ in keep],
-                         [offs for _, offs in keep])
+        ems = list(emit_batch([ch.text for ch, _ in keep],
+                              [offs for _, offs in keep]))
+        if len(ems) != len(keep):
+            # zip would silently drop trailing chunks — their PII would
+            # never be decoded and the page could pass as public (fail-open)
+            raise RuntimeError(
+                f"emit_batch returned {len(ems)} emissions for "
+                f"{len(keep)} chunks")
         yield from ((ch, offs, em)
                     for (ch, offs), em in zip(keep, ems))
 
@@ -519,6 +526,11 @@ def extract_page_batch(
                              if (offs := tokenizer.encode(ch.text))]
                 d[4] = len(with_offs)
                 buf.extend((d, ch, offs) for ch, offs in with_offs)
+        except ChunkingConfigError:
+            # a config that can never work for ANY page must abort the job
+            # (loudly, at the first task), not quarantine every page into a
+            # silently fail-closed corpus whose urls then all commit as done
+            raise
         except Exception as e:  # noqa: BLE001 — per-page quarantine
             # nothing of this doc is in buf: chunks buffer only via the
             # buf.extend that is the try block's last statement

@@ -204,6 +204,10 @@ def run_incremental(
     partition and lineage rows, so reusing one would make both ambiguous.
     """
     run_id = str(run_id)
+    # Layout check BEFORE any work: discovering a legacy flat lineage dir
+    # only when the post-extraction append fails would waste the whole
+    # increment (hours of cluster time) and force a vacuum + re-run.
+    _require_partitioned_layout(lineage_dir)
     _reserve(results_dir, run_id)
 
     done = committed_urls(spark, results_dir)
@@ -255,22 +259,31 @@ def migrate_lineage_layout(spark: SparkSession, lineage_dir: str) -> int:
     """One-time upgrade of a legacy flat lineage dir (run_id as a data
     column) to the hive-partitioned layout. Returns migrated row count.
 
-    Steps: read the flat files explicitly → rewrite partitioned into a
-    sibling ``<dir>.migrated`` → delete the flat files → move the partition
-    dirs in. Re-runnable: a crash before the flat-file delete just rewrites
-    the staging dir; a crash after it is completed by the move step on the
-    next call (staging is only deleted once its partitions are in place)."""
+    Crash-safe via a staging MANIFEST: the partitioned copy is written to a
+    sibling ``<dir>.migrated`` and a manifest (source file list + row
+    count) lands last via atomic rename — only then are flat files
+    deleted. Re-runnable at any kill point:
+
+    * crash before the manifest → staging is an incomplete write with all
+      flat sources still in place; the rerun discards it and rewrites.
+    * crash mid-delete or before the move → the manifest names exactly
+      which flat files the staging copy covers; the rerun finishes their
+      deletion from the list (NOT from a re-listing, which would rebuild
+      staging from the surviving subset and lose the already-deleted
+      files' only remaining copy), moves the partitions in, and reports
+      the manifest's row count."""
     staging = lineage_dir.rstrip("/") + ".migrated"
-    flat = _flat_lineage_files(lineage_dir)
-    n = 0
-    if flat:
-        df = spark.read.parquet(*flat).withColumn(
-            "run_id", F.col("run_id").cast("string"))
-        n = df.count()
-        df.write.mode("overwrite").partitionBy("run_id").parquet(staging)
-        for f in flat:
-            os.remove(f)
-    if os.path.isdir(staging):
+    manifest = os.path.join(staging, "_MIGRATION_MANIFEST.json")
+    total = 0
+
+    def complete_from_manifest() -> int:
+        with open(manifest) as f:
+            m = json.load(f)
+        for name in m["sources"]:
+            p = os.path.join(lineage_dir, name)
+            if os.path.isfile(p):
+                os.remove(p)
+        os.remove(manifest)
         for d in os.listdir(staging):
             if d.startswith("run_id="):
                 dst = os.path.join(lineage_dir, d)
@@ -280,7 +293,29 @@ def migrate_lineage_layout(spark: SparkSession, lineage_dir: str) -> int:
                 else:
                     shutil.move(os.path.join(staging, d), dst)
         shutil.rmtree(staging)
-    return n
+        return int(m["rows"])
+
+    if os.path.isdir(staging):
+        if os.path.isfile(manifest):
+            total += complete_from_manifest()  # finish a crashed migration
+        else:
+            shutil.rmtree(staging)  # incomplete write; sources intact
+
+    flat = _flat_lineage_files(lineage_dir)
+    if flat:
+        df = spark.read.parquet(*flat).withColumn(
+            "run_id", F.col("run_id").cast("string"))
+        n = df.count()
+        df.write.mode("overwrite").partitionBy("run_id").parquet(staging)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"sources": [os.path.basename(p) for p in flat],
+                       "rows": n}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, manifest)  # the migration's commit point
+        total += complete_from_manifest()
+    return total
 
 
 def _append_lineage(lineage: DataFrame, lineage_dir: str) -> None:

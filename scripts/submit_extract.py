@@ -38,7 +38,15 @@ def main() -> int:
         "--redact", choices=["tag", "mask"], default=None,
         help="also write publishable redacted text ([TYPE] tags or "
              "length-preserving * masks) to <output>.redacted/<run_id>")
+    ap.add_argument(
+        "--redact-run", default=None, metavar="RUN_ID",
+        help="skip extraction and (re)generate redacted output for an "
+             "already-committed run — the recovery path when a --redact "
+             "write failed after its increment committed (requires "
+             "--redact)")
     args = ap.parse_args()
+    if args.redact_run and not args.redact:
+        ap.error("--redact-run requires --redact")
 
     from pyspark.sql import SparkSession
 
@@ -46,6 +54,35 @@ def main() -> int:
 
     from pii_spark.resume import run_incremental
     from pii_spark.synth import pages_df
+
+    def write_redacted(run_id: str) -> str:
+        # one codegen projection over the run's COMMITTED results — reads
+        # back the landed parquet, never re-runs extraction. Overwrite
+        # makes the step idempotent: a partial dir from a crashed redact
+        # write is replaced wholesale on retry.
+        from pyspark.sql import functions as F
+
+        from pii_spark.ops.redact import redact_results
+        from pii_spark.resume import _committed_schema, committed_run_ids
+
+        if run_id not in committed_run_ids(args.output):
+            raise SystemExit(f"run_id {run_id!r} is not committed in "
+                             f"{args.output!r}")
+        committed = (
+            spark.read.schema(_committed_schema()).parquet(args.output)
+            .where(F.col("run_id") == run_id)
+        )
+        rdir = f"{args.output.rstrip('/')}.redacted/{run_id}"
+        redact_results(committed, args.redact).select(
+            "url", "redacted_text", "should_be_public"
+        ).write.mode("overwrite").parquet(rdir)
+        return rdir
+
+    if args.redact_run:
+        rdir = write_redacted(args.redact_run)
+        print(json.dumps({"run_id": args.redact_run, "redacted_dir": rdir}))
+        spark.stop()
+        return 0
 
     if args.synth:
         pages = pages_df(spark, args.synth, seed=42)
@@ -65,22 +102,7 @@ def main() -> int:
         num_partitions=args.partitions,
     )
     if args.redact:
-        # one codegen projection over THIS run's committed results — reads
-        # back the landed parquet, never re-runs extraction
-        from pyspark.sql import functions as F
-
-        from pii_spark.ops.redact import redact_results
-        from pii_spark.resume import _committed_schema
-
-        committed = (
-            spark.read.schema(_committed_schema()).parquet(args.output)
-            .where(F.col("run_id") == run_id)
-        )
-        rdir = f"{args.output.rstrip('/')}.redacted/{run_id}"
-        redact_results(committed, args.redact).select(
-            "url", "redacted_text", "should_be_public"
-        ).write.mode("error").parquet(rdir)
-        out["redacted_dir"] = rdir
+        out["redacted_dir"] = write_redacted(run_id)
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -273,6 +273,45 @@ def test_short_emit_batch_never_silently_truncates():
     assert any(isinstance(r, Exception) for r in recs)
 
 
+def test_chunking_config_error_aborts_batch_instead_of_quarantining():
+    """A config that can never work for ANY page (stride >= the real
+    tokenizer's budget) must ABORT extract_page_batch — quarantining it
+    per page would record every document as a fail-closed error row and
+    commit every url as done: a silently lost corpus."""
+    import pytest
+
+    from pii_core.chunking import ChunkingConfigError
+    from pii_core.ner_stub import StubEmitter
+    from pii_core.pipeline import extract_page_batch
+    from pii_core.tokenizer import WordTokenizer
+
+    cfg = ExtractConfig(max_length=64, stride=60)  # fine for 2 specials
+    many_specials = WordTokenizer(piece_len=8, num_special_tokens=6)
+    with pytest.raises(ChunkingConfigError):
+        extract_page_batch([("u", None, "texto longo o suficiente " * 40)],
+                           cfg, StubEmitter(), many_specials)
+
+
+def test_per_doc_path_rejects_short_emit_batch():
+    """The per-document path (extract_page -> _chunk_emissions) must fail
+    loudly on an emitter count-contract violation, not zip-truncate: a
+    silently dropped trailing chunk would leave its PII undecoded and the
+    page could pass as public."""
+    import pytest
+
+    from pii_core.ner_stub import StubEmitter
+
+    class ShortEmitter(StubEmitter):
+        def emit_batch(self, texts, offsets_list):
+            return super().emit_batch(texts, offsets_list)[:-1]
+
+    cfg = ExtractConfig(max_length=32, stride=8, batch_size=4)
+    long_text = "Solicito acesso ao processo administrativo. " * 30
+    with pytest.raises(RuntimeError, match="emissions"):
+        extract_page("u", None, long_text, cfg, ShortEmitter(),
+                     cfg.make_tokenizer())
+
+
 def test_model_path_config_rejects_degenerate_stride_eagerly():
     """A stride that can't fit any realistic transformer budget must fail
     at CONSTRUCTION (submit time): on the executor the chunker's raise

@@ -275,13 +275,14 @@ def test_legacy_flat_lineage_refused_then_migrated(spark, tmp_path):
     with pytest.raises(ValueError, match="migrate_lineage_layout"):
         lineage_summary(spark, ldir, rdir)
 
+    # the layout check fires BEFORE the run_id reservation (submit time, no
+    # cluster work wasted), so the refused attempt left nothing to vacuum
+    assert resume.vacuum_uncommitted(rdir, ldir) == []
+
     assert resume.migrate_lineage_layout(spark, ldir) == 1
     assert resume.migrate_lineage_layout(spark, ldir) == 0  # idempotent
 
-    # the migrated run is readable once marked; new increments append fine.
-    # (r1's reservation survived the refused attempt — the extraction never
-    # ran, so vacuum releases it and a retry under the same id is clean)
-    assert resume.vacuum_uncommitted(rdir, ldir) == ["r1"]
+    # the migrated run is readable once marked; new increments append fine
     out = run_incremental(spark, pages_df(spark, 4, seed=6), rdir, ldir,
                           "r1", num_partitions=2)
     assert out["docs"] == 4
@@ -291,6 +292,47 @@ def test_legacy_flat_lineage_refused_then_migrated(spark, tmp_path):
     assert summ["r0"]["docs"] == 5
     assert summ["r0"]["spans_by_type"] == {"CONTATO": 3}
     assert summ["r1"]["docs"] == 4
+
+
+def test_migration_crash_mid_delete_loses_no_rows(spark, tmp_path):
+    """The migration's manifest is its commit point: if a prior attempt
+    crashed after deleting SOME flat source files, the rerun must finish
+    from the manifest (whose staging copy holds every row) — re-listing
+    the surviving flat files would rebuild staging from the subset and
+    destroy the deleted files' only remaining copy."""
+    import os
+
+    import pii_spark.resume as resume
+
+    ldir = str(tmp_path / "lin")
+    schema = ("run_id string, partition_id int, docs long, bytes long, "
+              "spans_by_type map<string,bigint>")
+    for rid, docs in [("a", 3), ("b", 7)]:
+        spark.createDataFrame([(rid, 0, docs, 100, {"CONTATO": 1})], schema) \
+            .select("partition_id", "docs", "bytes", "spans_by_type",
+                    "run_id").coalesce(1).write.mode("append").parquet(ldir)
+
+    # run the first phase for real (staging + manifest), then simulate the
+    # crash window: one flat source deleted, the other still present
+    flat = resume._flat_lineage_files(ldir)
+    assert len(flat) == 2
+    staging = ldir.rstrip("/") + ".migrated"
+    df = spark.read.parquet(*flat)
+    df.write.mode("overwrite").partitionBy("run_id").parquet(staging)
+    import json as _json
+    with open(os.path.join(staging, "_MIGRATION_MANIFEST.json"), "w") as f:
+        _json.dump({"sources": [os.path.basename(p) for p in flat],
+                    "rows": 2}, f)
+    os.remove(flat[0])
+
+    assert resume.migrate_lineage_layout(spark, ldir) == 2
+    rdir = str(tmp_path / "res")
+    os.makedirs(resume._commits_dir(rdir))
+    for rid in ("a", "b"):
+        resume._write_marker(rdir, rid, 0)
+    summ = {r["run_id"]: r["docs"]
+            for r in lineage_summary(spark, ldir, rdir).collect()}
+    assert summ == {"a": 3, "b": 7}  # both legacy runs intact
 
 
 def test_vacuum_handles_hive_escaped_run_ids(spark, tmp_path, monkeypatch):
