@@ -180,6 +180,7 @@ def run_incremental(
     run_id: str,
     cfg: ExtractConfig | None = None,
     num_partitions: int | None = None,
+    max_error_rate: float | None = None,
 ) -> dict:
     """One resumable increment: anti-join committed urls, extract the
     remainder, commit results + lineage, then write the commit marker.
@@ -202,6 +203,17 @@ def run_incremental(
 
     ``run_id`` must be FRESH per increment — it names this run's results
     partition and lineage rows, so reusing one would make both ambiguous.
+
+    ``max_error_rate`` is the quarantine circuit breaker: per-page
+    quarantine keeps one pathological page from killing a 6-hour job, but
+    a SYSTEMIC failure (corrupt input batch, broken model weights) shows
+    up as a quarantine storm — and committing such a run would mark every
+    url "done" with garbage results. When the fraction of error rows
+    exceeds the threshold, the marker is NOT written and this raises: the
+    landed results stay in the normal crashed-run state (invisible to
+    readers; ``adopt_crashed_runs`` can salvage after inspection,
+    ``vacuum_uncommitted`` discards, the urls re-extract under the next
+    id). None (default) disables the check.
     """
     run_id = str(run_id)
     # Layout check BEFORE any work: discovering a legacy flat lineage dir
@@ -223,12 +235,24 @@ def run_incremental(
         return {"run_id": run_id, "docs": 0}
     committed = spark.read.schema(_committed_schema()).parquet(
         results_dir).where(F.col("run_id") == run_id)
-    n = committed.count()
+    counts = committed.agg(
+        F.count("*").alias("n"),
+        F.count("error").alias("errs"),  # count() skips nulls
+    ).first()
+    n, errs = int(counts["n"]), int(counts["errs"])
+    if max_error_rate is not None and n and errs > max_error_rate * n:
+        raise RuntimeError(
+            f"run {run_id!r}: {errs}/{n} pages quarantined "
+            f"({errs / n:.1%} > max_error_rate {max_error_rate:.1%}) — "
+            "refusing to commit a systemic failure. The landed results are "
+            "an unmarked (crashed-state) run: inspect the error column, "
+            "then adopt_crashed_runs to salvage or vacuum_uncommitted to "
+            "discard")
     if n:
         lineage = lineage_from_results(committed, run_id)
         _append_lineage(lineage, lineage_dir)
     _write_marker(results_dir, run_id, n)
-    return {"run_id": run_id, "docs": n}
+    return {"run_id": run_id, "docs": n, "errors": errs}
 
 
 def _flat_lineage_files(lineage_dir: str) -> list[str]:

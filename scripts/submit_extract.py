@@ -35,6 +35,11 @@ def main() -> int:
         help="unique id for this increment (default: run-<epoch-ms>)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument(
+        "--max-error-rate", type=float, default=None, metavar="FRACTION",
+        help="quarantine circuit breaker: refuse to commit the increment "
+             "if more than this fraction of pages error (systemic-failure "
+             "guard; the landed results stay adoptable/vacuumable)")
+    ap.add_argument(
         "--redact", choices=["tag", "mask"], default=None,
         help="also write publishable redacted text ([TYPE] tags or "
              "length-preserving * masks) to <output>.redacted/<run_id>")
@@ -100,6 +105,7 @@ def main() -> int:
     out = run_incremental(
         spark, pages, args.output, args.lineage, run_id,
         num_partitions=args.partitions,
+        max_error_rate=args.max_error_rate,
     )
     if args.redact:
         out["redacted_dir"] = write_redacted(run_id)

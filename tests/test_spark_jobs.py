@@ -253,6 +253,42 @@ def test_adopt_refuses_after_later_increment_overlaps(
     assert resume.vacuum_uncommitted(rdir, ldir) == ["r1"]
 
 
+def test_error_rate_circuit_breaker_refuses_systemic_failure(
+        spark, tmp_path):
+    """Per-page quarantine must not let a SYSTEMIC failure commit: when
+    the quarantine fraction exceeds max_error_rate, the marker is withheld
+    and the landed results stay in the crashed-run state — urls re-extract
+    under the next id instead of being marked done with garbage."""
+    import pii_spark.resume as resume
+    from pyspark.sql import types as T
+
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    # pathological pages: multi-kB unbroken word-char runs defeat the
+    # chunker's word-boundary budget (reference-parity fail-fast) and
+    # quarantine fail-closed
+    rows = [(f"u{i}", None, "Solicito acesso ao processo aqui agora.")
+            for i in range(6)]
+    rows += [(f"bad{i}", None, "x" * 20000) for i in range(4)]
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+    ])
+    pages = spark.createDataFrame(rows, schema)
+
+    with pytest.raises(RuntimeError, match="refusing to commit"):
+        run_incremental(spark, pages, rdir, ldir, "r1", num_partitions=2,
+                        max_error_rate=0.25)  # 40% quarantined > 25%
+    assert resume.committed_run_ids(rdir) == []  # invisible, crashed-state
+    assert resume.vacuum_uncommitted(rdir, ldir) == ["r1"]
+
+    # same corpus, breaker above the real rate: commits and reports errors
+    out = run_incremental(spark, pages, rdir, ldir, "r2", num_partitions=2,
+                          max_error_rate=0.5)
+    assert out == {"run_id": "r2", "docs": 10, "errors": 4}
+    assert resume.committed_run_ids(rdir) == ["r2"]
+
+
 def test_legacy_flat_lineage_refused_then_migrated(spark, tmp_path):
     """A lineage dir written by the pre-partitioned layout (run_id as a
     data column in flat files) must be REFUSED by writers and readers —
