@@ -486,3 +486,51 @@ def register_queries(register) -> None:
             "doc_id",
             F.concat(*[F.col(f"bit{j}") for j in range(16)]).alias("simhash"),
         ).orderBy("doc_id")
+
+
+def line_dedup(docs: DataFrame, max_doc_freq: int,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb idiom): drop
+    every line whose TRIMMED form appears in more than ``max_doc_freq``
+    distinct documents — nav menus, cookie banners, legal footers repeat
+    across a site's pages; body prose does not.
+
+    Returns (id_col, text) with each document's surviving lines rejoined
+    in original order (empty lines never count toward frequency but follow
+    their trimmed form: a blank line survives).
+
+    100 TB shape: posexplode lines → dropDuplicates((hash, doc)) →
+    groupBy(hash) count — every shuffle carries an 8-byte xxhash64 plus
+    doc id, never line text; the hot-line set (lines above the threshold)
+    is tiny by construction (boilerplate cardinality ≪ corpus lines), so
+    the anti-join back broadcasts under AQE. Reassembly sorts each doc's
+    surviving (line_no, line) structs doc-locally — no corpus-wide sort.
+    """
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("h", F.xxhash64(F.trim("line")))
+    hot = (
+        lines.where(F.trim("line") != "")
+        .select("h", id_col).dropDuplicates(["h", id_col])
+        .groupBy("h").agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select("h")
+    )
+    kept = lines.join(hot, "h", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(
+            F.struct("line_no", "line"))).alias("ls"))
+        .select(
+            id_col,
+            F.array_join(F.transform("ls", lambda s: s["line"]), "\n")
+            .alias("text"),
+        )
+    )
+    # a doc whose every line was boilerplate survives as EMPTY text, not a
+    # dropped row — losing the doc id would silently shrink the corpus
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce("text", F.lit("")).alias("text"))

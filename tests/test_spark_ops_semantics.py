@@ -206,3 +206,63 @@ def test_knn_lsh_neighbors_share_bucket_semantics(spark, sfd):
         rs.sort(key=lambda r: r["rk"])
         qdots = [r["qdot"] for r in rs]
         assert qdots == sorted(qdots, reverse=True)
+
+
+def test_line_dedup_vs_duckdb_oracle(spark):
+    """CCNet/RefinedWeb-style line-level boilerplate removal: lines whose
+    trimmed form appears in > max_doc_freq distinct docs vanish, everything
+    else survives byte-identically in order. Verified against an
+    independent DuckDB derivation on the same corpus (same rigor as the
+    registry oracles; the 50-slot registry is full)."""
+    import duckdb
+    import pandas as pd
+
+    from pii_spark.ops.dedup import line_dedup
+
+    nav = "Menu | Institucional | Contato"
+    cookie = "  Este site usa cookies.  "
+    rows = []
+    for i in range(30):
+        body = [f"Paragrafo unico do documento {i}.",
+                "", f"Detalhe numero {i * 7}."]
+        text = "\n".join([nav, *body, cookie] if i < 25 else body)
+        rows.append((i, text))
+    rows.append((30, f"{nav}\n{cookie}\n{nav}"))  # all-boilerplate doc
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    got = line_dedup(
+        spark.createDataFrame(pdf), max_doc_freq=5
+    ).orderBy("doc_id").collect()
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.sql("""
+        WITH split AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+        lines AS (
+          SELECT doc_id, unnest(ls) AS line,
+                 generate_subscripts(ls, 1) AS line_no FROM split),
+        hot AS (
+          SELECT trim(line) AS t FROM lines WHERE trim(line) <> ''
+          GROUP BY 1 HAVING count(DISTINCT doc_id) > 5),
+        kept AS (
+          SELECT doc_id, line_no, line FROM lines
+          WHERE trim(line) NOT IN (SELECT t FROM hot))
+        SELECT d.doc_id,
+               coalesce(string_agg(k.line, chr(10) ORDER BY k.line_no), '')
+                 AS text
+        FROM docs d LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id ORDER BY d.doc_id
+    """).fetchall()
+    assert [(r["doc_id"], r["text"]) for r in got] == want
+
+    by_id = {r["doc_id"]: r["text"] for r in got}
+    assert nav not in by_id[0] and "cookies" not in by_id[0]
+    assert f"Paragrafo unico do documento 3." in by_id[3]
+    assert by_id[3].count("\n") == 2  # blank line survived, order intact
+    assert by_id[30] == ""            # all-boilerplate doc kept as empty
+    assert by_id[27] == rows[27][1]   # doc with no hot lines: byte-identical
+    # no cartesian anywhere in the plan
+    plan = line_dedup(spark.createDataFrame(pdf), 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
