@@ -332,3 +332,78 @@ def register_queries(register) -> None:
                     "pred_should_be_public", "excerpt")
             .orderBy("bucket", "doc_id")
         )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    within-document repetition is the strongest cheap predictor of
+    low-quality web text (scraper loops, listings, spam). Per doc:
+
+    * ``dup_line_pm``      — per-mille of lines that repeat an earlier
+                             line (trimmed; blank lines excluded)
+    * ``dup_line_char_pm`` — per-mille of non-blank line characters inside
+                             repeated lines
+    * ``top_bigram_char_pm`` — per-mille of token characters covered by
+                             the most frequent word bigram (count x len)
+
+    All doc-local: the lines/bigram pass shuffles on (doc_id, value) —
+    keys that never cross documents — and emissions are floored per-mille
+    integers (hash-stable across engines, same idiom as quality_score).
+    Filter downstream with e.g. ``dup_line_pm < 300`` (the Gopher-family
+    thresholds); this operator only measures.
+    """
+    lines = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("l")
+    ).select(id_col, F.trim("l").alias("l")).where(F.col("l") != "")
+    per_line = lines.groupBy(id_col, "l").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy(id_col).agg(
+        F.floor(F.sum(F.col("c") - 1) * 1000.0 / F.sum("c"))
+        .cast("long").alias("dup_line_pm"),
+        F.floor(F.sum(F.when(F.col("c") > 1,
+                             F.col("c") * F.length("l")).otherwise(0))
+                * 1000.0 / F.sum(F.col("c") * F.length("l")))
+        .cast("long").alias("dup_line_char_pm"),
+    )
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    grams = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tok"),
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        .alias("tok_chars"),
+        F.explode(F.when(
+            F.size(toks) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(toks, i),
+                            F.element_at(toks, i + 1)))
+        ).otherwise(F.array().cast("array<string>"))).alias("g"),
+    )
+    top = (
+        grams.groupBy(id_col, "tok_chars", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col, "tok_chars")
+        .agg(F.max(F.struct(
+            F.col("c"), (F.length("g") - F.lit(1)).alias("glen"),
+            F.col("g"))).alias("m"))
+        .select(
+            id_col,
+            F.floor(F.col("m.c") * F.col("m.glen") * 1000.0
+                    / F.col("tok_chars")).cast("long")
+            .alias("top_bigram_char_pm"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_line_pm", F.lit(0)).alias("dup_line_pm"),
+            F.coalesce("dup_line_char_pm", F.lit(0))
+            .alias("dup_line_char_pm"),
+            F.coalesce("top_bigram_char_pm", F.lit(0))
+            .alias("top_bigram_char_pm"),
+        )
+    )

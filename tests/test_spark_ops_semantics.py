@@ -266,3 +266,85 @@ def test_line_dedup_vs_duckdb_oracle(spark):
     plan = line_dedup(spark.createDataFrame(pdf), 5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_vs_duckdb_oracle(spark):
+    """Gopher-style within-doc repetition signals vs an independent DuckDB
+    derivation: duplicated-line fractions and most-frequent-bigram char
+    coverage, floored per-mille, identical tie-breaks."""
+    import duckdb
+    import pandas as pd
+
+    from pii_spark.ops.textstats import repetition_stats
+
+    rows = [
+        (0, "linha um\nlinha dois\nlinha um\nlinha um\n\nlinha tres"),
+        (1, "clique aqui clique aqui clique aqui clique aqui agora"),
+        (2, "Um paragrafo normal de prosa corrida sem repeticao alguma."),
+        (3, ""),
+        (4, "palavra"),
+        (5, "a b\na b\na b"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = [(r["doc_id"], r["dup_line_pm"], r["dup_line_char_pm"],
+            r["top_bigram_char_pm"])
+           for r in repetition_stats(spark.createDataFrame(pdf))
+           .orderBy("doc_id").collect()]
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.sql("""
+        WITH lines AS (
+          SELECT doc_id, trim(l) AS l
+          FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM docs) x WHERE trim(l) <> ''),
+        per_line AS (
+          SELECT doc_id, l, count(*) AS c FROM lines GROUP BY 1, 2),
+        line_stats AS (
+          SELECT doc_id,
+                 CAST(floor(sum(c - 1) * 1000.0 / sum(c)) AS BIGINT)
+                   AS dup_line_pm,
+                 CAST(floor(sum(CASE WHEN c > 1 THEN c * length(l)
+                                     ELSE 0 END) * 1000.0
+                            / sum(c * length(l))) AS BIGINT)
+                   AS dup_line_char_pm
+          FROM per_line GROUP BY doc_id),
+        tokd AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t <> '') AS toks
+          FROM docs),
+        grams AS (
+          SELECT doc_id,
+                 list_sum(list_transform(toks, t -> length(t))) AS tok_chars,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+          FROM tokd),
+        counted AS (
+          SELECT doc_id, tok_chars, g, count(*) AS c,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY count(*) DESC, length(g) - 1 DESC, g DESC) AS rn
+          FROM grams GROUP BY doc_id, tok_chars, g),
+        top AS (
+          SELECT doc_id,
+                 CAST(floor(c * (length(g) - 1) * 1000.0 / tok_chars)
+                      AS BIGINT) AS top_bigram_char_pm
+          FROM counted WHERE rn = 1)
+        SELECT d.doc_id, coalesce(ls.dup_line_pm, 0),
+               coalesce(ls.dup_line_char_pm, 0),
+               coalesce(t.top_bigram_char_pm, 0)
+        FROM docs d
+        LEFT JOIN line_stats ls USING (doc_id)
+        LEFT JOIN top t USING (doc_id)
+        ORDER BY d.doc_id
+    """).fetchall()
+    assert got == [tuple(w) for w in want]
+
+    by_id = {g[0]: g for g in got}
+    assert by_id[0][1] == 400          # 2 of 5 non-blank lines are repeats
+    assert by_id[1][3] > 400           # bigram-spam doc flagged hard
+    assert by_id[2][1] == 0 and by_id[2][2] == 0
+    assert by_id[3] == (3, 0, 0, 0) and by_id[4][3] == 0
+    assert by_id[5][1] == 666          # 2 of 3 identical lines
