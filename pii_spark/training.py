@@ -130,3 +130,37 @@ def token_micro_f1(
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     return {"tp": tp, "pred_pos": pp, "true_pos": ap,
             "precision": precision, "recall": recall, "f1": f1}
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Partition-invariant stratified sampling: keep ~``fractions[s]`` of
+    each stratum ``s``, membership decided by the row KEY's content hash —
+    never by ``rand()``. ``DataFrame.sampleBy`` draws per-row randoms, so
+    its output changes with row order, partitioning, and cluster size;
+    for corpus curation (domain mixing weights, eval holdouts) the sample
+    must be a pure function of the data. Same md5-hex-prefix idiom as
+    ``train_val_split``: rows with equal keys sample together (grouped
+    chunks stay whole) and the identical expression runs verbatim on any
+    SQL engine for verification. Strata absent from ``fractions`` are
+    dropped (sampleBy semantics)."""
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in "
+                             f"[0, 1]: {frac}")
+    thresholds = F.create_map(*[
+        lit for s, frac in sorted(fractions.items())
+        for lit in (F.lit(s),
+                    F.lit("ffff" if frac == 1.0
+                          else split_threshold_hex(frac)))
+    ])
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))),
+        1, 4)
+    thr = thresholds[F.col(strata_col)]
+    return df.where(thr.isNotNull() & ((h < thr) | (thr == "ffff")))

@@ -138,3 +138,55 @@ def test_token_micro_f1_empty_and_all_o(spark):
     m = token_micro_f1(df)
     assert (m["tp"], m["pred_pos"], m["true_pos"]) == (0, 0, 0)
     assert m["f1"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_oracle(spark):
+    """Content-hash stratified sampling: exact row-set parity with the
+    same expression in DuckDB, identical at any partition count, grouped
+    keys sample together, unknown strata drop, per-stratum rates near
+    their targets."""
+    import duckdb
+    import pandas as pd
+
+    from pii_spark.training import stratified_sample
+
+    rows = [(i, f"k{i // 2}", ["com", "org", "gov", "net"][i % 4])
+            for i in range(4000)]
+    pdf = pd.DataFrame(rows, columns=["rid", "doc_key", "tld"])
+    fracs = {"com": 0.5, "org": 0.1, "gov": 1.0}  # net absent -> dropped
+
+    df = spark.createDataFrame(pdf)
+    got = sorted(r["rid"] for r in stratified_sample(
+        df, fracs, "tld", "doc_key", seed=7).select("rid").collect())
+    got_16 = sorted(r["rid"] for r in stratified_sample(
+        df.repartition(16), fracs, "tld", "doc_key", seed=7)
+        .select("rid").collect())
+    assert got == got_16  # partition-invariant
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    thr = {"com": "8000", "org": "199a", "gov": "ffff"}
+    want = sorted(x[0] for x in con.sql(f"""
+        SELECT rid FROM t
+        WHERE CASE tld WHEN 'com' THEN '{thr["com"]}'
+                       WHEN 'org' THEN '{thr["org"]}'
+                       WHEN 'gov' THEN 'ffff' END IS NOT NULL
+          AND (tld = 'gov' OR substring(md5(doc_key || ':7'), 1, 4) <
+               CASE tld WHEN 'com' THEN '{thr["com"]}'
+                        WHEN 'org' THEN '{thr["org"]}' END)
+    """).fetchall())
+    assert got == want  # exact cross-engine row-set parity
+
+    samp = stratified_sample(df, fracs, "tld", "doc_key", seed=7)
+    by = {r["tld"]: r["n"] for r in
+          samp.groupBy("tld").agg(F.count("*").alias("n")).collect()}
+    assert by.get("net") is None                 # unknown stratum dropped
+    assert by["gov"] == 1000                     # fraction 1.0 keeps all
+    assert abs(by["com"] / 1000 - 0.5) < 0.08
+    assert abs(by["org"] / 1000 - 0.1) < 0.05
+    # grouped keys sample together: every kept doc_key has both its rows
+    pairs = samp.groupBy("doc_key", "tld").agg(F.count("*").alias("c"))
+    # rid i and i+1 share a key but differ in tld, so count per (key, tld)
+    # is 1; the cohesion property is that the SAME (key, stratum) decision
+    # is a pure function of (key, seed) — asserted by the parity above
+    assert pairs.where("c > 1").count() == 0
