@@ -496,30 +496,47 @@ def line_dedup(docs: DataFrame, max_doc_freq: int,
     across a site's pages; body prose does not.
 
     Returns (id_col, text) with each document's surviving lines rejoined
-    in original order (empty lines never count toward frequency but follow
-    their trimmed form: a blank line survives).
+    in original order. Line identity is the WHITESPACE-trimmed form
+    (regexp, not F.trim's spaces-only — CRLF corpora leave '\\r' on every
+    line, which must neither block cross-corpus matches nor turn the
+    blank-line '\\r' into corpus-wide "boilerplate"); blank lines never
+    count toward frequency and always survive.
 
-    100 TB shape: posexplode lines → dropDuplicates((hash, doc)) →
-    groupBy(hash) count — every shuffle carries an 8-byte xxhash64 plus
-    doc id, never line text; the hot-line set (lines above the threshold)
-    is tiny by construction (boilerplate cardinality ≪ corpus lines), so
-    the anti-join back broadcasts under AQE. Reassembly sorts each doc's
-    surviving (line_no, line) structs doc-locally — no corpus-wide sort.
+    100 TB shape, exact in two stages: (1) candidate hot HASHES via
+    posexplode → dropDuplicates((xxhash64, doc)) → groupBy(hash) — this
+    corpus-wide shuffle carries 8-byte hashes plus doc ids, never text;
+    (2) the doc-frequency recount and the delete decision use the exact
+    trimmed TEXT, but only for lines whose hash is a stage-1 candidate —
+    boilerplate cardinality ≪ corpus lines, so this text shuffle is tiny.
+    A 64-bit collision can therefore only promote a line into the cheap
+    recount, never delete an innocent line (at 10^12 distinct lines,
+    birthday collisions are EXPECTED — a hash-only delete would silently
+    destroy body prose). Reassembly sorts each doc's surviving
+    (line_no, line) structs doc-locally — no corpus-wide sort.
     """
     if max_doc_freq < 1:
         raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    trimmed = F.regexp_replace("line", r"^\s+|\s+$", "")
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
-    ).withColumn("h", F.xxhash64(F.trim("line")))
-    hot = (
-        lines.where(F.trim("line") != "")
+    ).withColumn("t", trimmed).withColumn("h", F.xxhash64("t"))
+    hot_h = (
+        lines.where(F.col("t") != "")
         .select("h", id_col).dropDuplicates(["h", id_col])
         .groupBy("h").agg(F.count("*").alias("df"))
         .where(F.col("df") > max_doc_freq)
         .select("h")
     )
-    kept = lines.join(hot, "h", "left_anti")
+    hot_t = (
+        lines.join(hot_h, "h", "left_semi")
+        .where(F.col("t") != "")
+        .select("t", id_col).dropDuplicates(["t", id_col])
+        .groupBy("t").agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select("t")
+    )
+    kept = lines.join(hot_t, "t", "left_anti")
     rebuilt = (
         kept.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(

@@ -355,7 +355,11 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     """
     lines = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("l")
-    ).select(id_col, F.trim("l").alias("l")).where(F.col("l") != "")
+    ).select(
+        # full whitespace trim (not F.trim's spaces-only): CRLF corpora
+        # leave '\r' on every line, which must not break line identity
+        id_col, F.regexp_replace("l", r"^\s+|\s+$", "").alias("l"),
+    ).where(F.col("l") != "")
     per_line = lines.groupBy(id_col, "l").agg(F.count("*").alias("c"))
     line_stats = per_line.groupBy(id_col).agg(
         F.floor(F.sum(F.col("c") - 1) * 1000.0 / F.sum("c"))

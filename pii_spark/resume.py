@@ -216,6 +216,11 @@ def run_incremental(
     id). None (default) disables the check.
     """
     run_id = str(run_id)
+    if max_error_rate is not None and not 0.0 <= max_error_rate <= 1.0:
+        # validate at submit: a negative typo would refuse EVERY commit
+        # (errs > -x*n always holds), >1 silently disables the breaker
+        raise ValueError(
+            f"max_error_rate must be in [0, 1]: {max_error_rate}")
     # Layout check BEFORE any work: discovering a legacy flat lineage dir
     # only when the post-extraction append fails would waste the whole
     # increment (hours of cluster time) and force a vacuum + re-run.
@@ -232,7 +237,7 @@ def run_incremental(
     )
     if not _exists(results_dir):  # first run over an empty input
         _write_marker(results_dir, run_id, 0)
-        return {"run_id": run_id, "docs": 0}
+        return {"run_id": run_id, "docs": 0, "errors": 0}
     committed = spark.read.schema(_committed_schema()).parquet(
         results_dir).where(F.col("run_id") == run_id)
     counts = committed.agg(

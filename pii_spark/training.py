@@ -67,11 +67,18 @@ def train_val_split(
 
 
 def split_threshold_hex(val_fraction: float) -> str:
-    """The split threshold as a 4-hex-char string: lowercase hex compares
+    """The split threshold as a string: lowercase hex compares
     lexicographically in value order, so `substr(md5, 1, 4) < threshold`
     selects a uniform ~val_fraction of keys with NO base conversion —
-    the same expression runs verbatim on Spark and DuckDB."""
-    return format(int(round(val_fraction * _HEX_SPACE)), "04x")
+    the same expression runs verbatim on Spark and DuckDB.
+
+    Fractions that round to the full 2^16 space return the sentinel
+    ``"g"`` — 'g' sorts after every hex char in ASCII, so ``h < 'g'`` is
+    true for EVERY 4-hex-char hash (keep-all). The naive ``format(65536,
+    "04x")`` would be the 5-char '10000', which sorts BELOW almost all
+    4-char hashes and would silently keep only ~6% of rows."""
+    t = int(round(val_fraction * _HEX_SPACE))
+    return "g" if t >= _HEX_SPACE else format(t, "04x")
 
 
 def _val_predicate(key_col: str, val_fraction: float, seed: int) -> F.Column:
@@ -145,22 +152,32 @@ def stratified_sample(
     its output changes with row order, partitioning, and cluster size;
     for corpus curation (domain mixing weights, eval holdouts) the sample
     must be a pure function of the data. Same md5-hex-prefix idiom as
-    ``train_val_split``: rows with equal keys sample together (grouped
-    chunks stay whole) and the identical expression runs verbatim on any
-    SQL engine for verification. Strata absent from ``fractions`` are
-    dropped (sampleBy semantics)."""
+    ``train_val_split``, but SALTED with both the stratum and a "sample"
+    tag: without the stratum the per-stratum decisions would be perfectly
+    correlated (a key kept at 0.2 in one stratum is always kept at >= 0.2
+    in every other), and without the operator tag the sample would reuse
+    the exact hash range ``train_val_split`` carves its val set from —
+    sampling 20% then splitting 10% val would put HALF the sample in val.
+    Rows with equal (key, stratum) sample together (grouped chunks stay
+    whole); the expression runs verbatim on any SQL engine for
+    verification. Strata absent from ``fractions`` are dropped (sampleBy
+    semantics), as are rows with a null key (no hash -> no membership —
+    consistently, at any fraction)."""
     for s, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for stratum {s!r} must be in "
                              f"[0, 1]: {frac}")
     thresholds = F.create_map(*[
         lit for s, frac in sorted(fractions.items())
-        for lit in (F.lit(s),
-                    F.lit("ffff" if frac == 1.0
-                          else split_threshold_hex(frac)))
+        for lit in (F.lit(s), F.lit(split_threshold_hex(frac)))
     ])
     h = F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))),
+        F.md5(F.concat_ws("|", F.col(key_col).cast("string"),
+                          F.col(strata_col), F.lit(f"sample:{seed}"))),
         1, 4)
+    # concat_ws skips nulls, which would alias (null key, stratum s) with
+    # (key "s", null stratum) etc. — null keys must DROP, not alias
+    h = F.when(F.col(key_col).isNotNull() & F.col(strata_col).isNotNull(),
+               h)
     thr = thresholds[F.col(strata_col)]
-    return df.where(thr.isNotNull() & ((h < thr) | (thr == "ffff")))
+    return df.where(thr.isNotNull() & (h < thr))

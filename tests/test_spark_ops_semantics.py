@@ -226,6 +226,8 @@ def test_line_dedup_vs_duckdb_oracle(spark):
         body = [f"Paragrafo unico do documento {i}.",
                 "", f"Detalhe numero {i * 7}."]
         text = "\n".join([nav, *body, cookie] if i < 25 else body)
+        if i < 8:  # CRLF corpus slice: same boilerplate, \r\n endings
+            text = text.replace("\n", "\r\n")
         rows.append((i, text))
     rows.append((30, f"{nav}\n{cookie}\n{nav}"))  # all-boilerplate doc
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
@@ -236,18 +238,22 @@ def test_line_dedup_vs_duckdb_oracle(spark):
 
     con = duckdb.connect()
     con.register("docs", pdf)
-    want = con.sql("""
+    want = con.sql(r"""
         WITH split AS (
           SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
         lines AS (
           SELECT doc_id, unnest(ls) AS line,
                  generate_subscripts(ls, 1) AS line_no FROM split),
+        trimd AS (
+          SELECT doc_id, line_no, line,
+                 regexp_replace(line, '^\s+|\s+$', '', 'g') AS t
+          FROM lines),
         hot AS (
-          SELECT trim(line) AS t FROM lines WHERE trim(line) <> ''
+          SELECT t FROM trimd WHERE t <> ''
           GROUP BY 1 HAVING count(DISTINCT doc_id) > 5),
         kept AS (
-          SELECT doc_id, line_no, line FROM lines
-          WHERE trim(line) NOT IN (SELECT t FROM hot))
+          SELECT doc_id, line_no, line FROM trimd
+          WHERE t NOT IN (SELECT t FROM hot))
         SELECT d.doc_id,
                coalesce(string_agg(k.line, chr(10) ORDER BY k.line_no), '')
                  AS text
@@ -257,11 +263,16 @@ def test_line_dedup_vs_duckdb_oracle(spark):
     assert [(r["doc_id"], r["text"]) for r in got] == want
 
     by_id = {r["doc_id"]: r["text"] for r in got}
-    assert nav not in by_id[0] and "cookies" not in by_id[0]
-    assert f"Paragrafo unico do documento 3." in by_id[3]
-    assert by_id[3].count("\n") == 2  # blank line survived, order intact
-    assert by_id[30] == ""            # all-boilerplate doc kept as empty
-    assert by_id[27] == rows[27][1]   # doc with no hot lines: byte-identical
+    assert nav not in by_id[10] and "cookies" not in by_id[10]
+    assert "Paragrafo unico do documento 13." in by_id[13]
+    assert by_id[13].count("\n") == 2  # blank line survived, order intact
+    assert by_id[30] == ""             # all-boilerplate doc kept as empty
+    assert by_id[27] == rows[27][1]    # doc with no hot lines: byte-identical
+    # CRLF slice: '\r'-suffixed boilerplate dedups WITH its LF twin, and
+    # the '\r' blank lines survive (spaces-only trim would have classed
+    # '\r' itself as corpus-wide boilerplate and deleted every blank line)
+    assert nav not in by_id[3] and "cookies" not in by_id[3]
+    assert "\r" in by_id[3]            # blank CRLF lines survived
     # no cartesian anywhere in the plan
     plan = line_dedup(spark.createDataFrame(pdf), 5) \
         ._jdf.queryExecution().executedPlan().toString()
@@ -295,9 +306,10 @@ def test_repetition_stats_vs_duckdb_oracle(spark):
     con.register("docs", pdf)
     want = con.sql("""
         WITH lines AS (
-          SELECT doc_id, trim(l) AS l
+          SELECT doc_id, regexp_replace(l, '^\\s+|\\s+$', '', 'g') AS l
           FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
-                FROM docs) x WHERE trim(l) <> ''),
+                FROM docs) x
+          WHERE regexp_replace(l, '^\\s+|\\s+$', '', 'g') <> ''),
         per_line AS (
           SELECT doc_id, l, count(*) AS c FROM lines GROUP BY 1, 2),
         line_stats AS (

@@ -165,15 +165,13 @@ def test_stratified_sample_deterministic_and_oracle(spark):
 
     con = duckdb.connect()
     con.register("t", pdf)
-    thr = {"com": "8000", "org": "199a", "gov": "ffff"}
-    want = sorted(x[0] for x in con.sql(f"""
+    # 'g' sorts after every hex char: the keep-all threshold for frac=1.0
+    want = sorted(x[0] for x in con.sql("""
         SELECT rid FROM t
-        WHERE CASE tld WHEN 'com' THEN '{thr["com"]}'
-                       WHEN 'org' THEN '{thr["org"]}'
-                       WHEN 'gov' THEN 'ffff' END IS NOT NULL
-          AND (tld = 'gov' OR substring(md5(doc_key || ':7'), 1, 4) <
-               CASE tld WHEN 'com' THEN '{thr["com"]}'
-                        WHEN 'org' THEN '{thr["org"]}' END)
+        WHERE substring(md5(doc_key || '|' || tld || '|sample:7'), 1, 4) <
+              CASE tld WHEN 'com' THEN '8000'
+                       WHEN 'org' THEN '199a'
+                       WHEN 'gov' THEN 'g' END
     """).fetchall())
     assert got == want  # exact cross-engine row-set parity
 
@@ -188,5 +186,26 @@ def test_stratified_sample_deterministic_and_oracle(spark):
     pairs = samp.groupBy("doc_key", "tld").agg(F.count("*").alias("c"))
     # rid i and i+1 share a key but differ in tld, so count per (key, tld)
     # is 1; the cohesion property is that the SAME (key, stratum) decision
-    # is a pure function of (key, seed) — asserted by the parity above
+    # is a pure function of (key, stratum, seed) — asserted by the parity
     assert pairs.where("c > 1").count() == 0
+
+    # independence from train_val_split: sampling then splitting must give
+    # ~val_fraction of the SAMPLE, not half of it (the operators hash with
+    # different salts; identical salts would nest the ranges)
+    from pii_spark.training import train_val_split
+
+    com = stratified_sample(df, {"com": 0.2}, "tld", "doc_key", seed=42)
+    train, val = train_val_split(com, 0.10, seed=42, key_col="doc_key")
+    n_tr, n_val = train.count(), val.count()
+    assert n_tr > 0 and n_val / (n_tr + n_val) < 0.25
+
+    # degenerate fractions: ~1.0 must keep ~all (the 5-char '10000'
+    # threshold bug kept ~6%); null keys drop at ANY fraction
+    near_all = stratified_sample(df, {"com": 0.9999999}, "tld", "doc_key")
+    assert near_all.count() == 1000
+    with_null = pd.concat([pdf, pd.DataFrame(
+        [(9999, None, "gov"), (9998, None, "com")],
+        columns=["rid", "doc_key", "tld"])])
+    nulls = stratified_sample(spark.createDataFrame(with_null),
+                              fracs, "tld", "doc_key", seed=7)
+    assert nulls.where("doc_key is null").count() == 0
