@@ -360,3 +360,52 @@ def test_repetition_stats_vs_duckdb_oracle(spark):
     assert by_id[2][1] == 0 and by_id[2][2] == 0
     assert by_id[3] == (3, 0, 0, 0) and by_id[4][3] == 0
     assert by_id[5][1] == 666          # 2 of 3 identical lines
+
+
+def test_line_dedup_properties_random_corpora(spark):
+    """Structural invariants over seeded random corpora: output lines are
+    a subsequence of input lines (nothing invented, order kept), a huge
+    threshold is the identity, and the operator is IDEMPOTENT (survivor
+    doc-frequencies are unchanged by the removal, so a second pass is a
+    no-op)."""
+    import random
+
+    from pii_spark.ops.dedup import line_dedup
+
+    rng = random.Random(99)
+    pool = [f"boiler {i}" for i in range(5)]
+    docs = []
+    for d in range(40):
+        lines = []
+        for _ in range(rng.randint(0, 12)):
+            r = rng.random()
+            if r < 0.3:
+                lines.append(rng.choice(pool))
+            elif r < 0.4:
+                lines.append(rng.choice(["", "  ", "\t"]))
+            else:
+                lines.append(f"unico {d} {rng.randint(0, 1 << 30)}")
+        docs.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    once = {r["doc_id"]: r["text"]
+            for r in line_dedup(df, 3).collect()}
+    assert set(once) == {d for d, _ in docs}  # no doc ever disappears
+    orig = dict(docs)
+    for d, out in once.items():
+        if out == "":
+            continue
+        src = orig[d].split("\n")
+        it = iter(src)
+        # subsequence check: every output line appears in input order
+        assert all(any(line == s for s in it) for line in out.split("\n")), d
+
+    # identity at a threshold no line can exceed
+    ident = {r["doc_id"]: r["text"] for r in line_dedup(df, 10_000).collect()}
+    assert ident == orig
+
+    # idempotence: running again removes nothing further
+    again = {r["doc_id"]: r["text"] for r in line_dedup(
+        spark.createDataFrame(list(once.items()), ["doc_id", "text"]),
+        3).collect()}
+    assert again == once

@@ -209,3 +209,25 @@ def test_stratified_sample_deterministic_and_oracle(spark):
     nulls = stratified_sample(spark.createDataFrame(with_null),
                               fracs, "tld", "doc_key", seed=7)
     assert nulls.where("doc_key is null").count() == 0
+
+
+def test_stratified_sample_monotone_in_fraction(spark):
+    """Raising a stratum's fraction only ADDS rows (hash thresholds are
+    monotone, 'g' keep-all included): growing a mixture weight later must
+    extend the previous sample, never resample it."""
+    import pandas as pd
+
+    from pii_spark.training import stratified_sample
+
+    pdf = pd.DataFrame(
+        [(i, f"k{i}", "web") for i in range(2000)],
+        columns=["rid", "doc_key", "tld"])
+    df = spark.createDataFrame(pdf)
+    prev: set[int] = set()
+    for frac in (0.05, 0.2, 0.5, 0.9, 0.9999999, 1.0):
+        cur = {r["rid"] for r in stratified_sample(
+            df, {"web": frac}, "tld", "doc_key", seed=3)
+            .select("rid").collect()}
+        assert prev <= cur, f"fraction {frac} lost rows"
+        prev = cur
+    assert prev == set(range(2000))  # 1.0 keeps everything
