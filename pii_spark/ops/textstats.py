@@ -411,3 +411,79 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             .alias("top_bigram_char_pm"),
         )
     )
+
+
+def ngram_repetition_stats(
+    docs: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full Gopher n-gram repetition family (Rae et al. 2021 §A1.1),
+    generalizing ``repetition_stats``'s bigram signal. Per doc:
+
+    * ``top_{n}gram_char_pm`` for n in ``top_ns`` — per-mille of token
+      characters covered by the single most frequent word n-gram
+      (count × n-gram token chars / total token chars).
+    * ``dup_{n}gram_char_pm`` for n in ``dup_ns`` — per-mille of token
+      characters inside n-grams occurring ≥ 2 times in the doc
+      (Σ count × chars over duplicated n-grams / total, capped at 1000 —
+      overlapping occurrences may multi-count, so the sum can exceed the
+      doc).
+
+    One explode over all requested n sizes at once (array-concat of
+    per-n gram arrays, struct-tagged), one (doc, n, gram) count, one
+    pivot back to columns — shuffles only on doc-local keys. Floored
+    per-mille integers; ties broken (count, gram chars, gram) like
+    ``repetition_stats``.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns or min(ns) < 2:
+        raise ValueError(f"n-gram sizes must be >= 2, got {ns}")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+    def gram_array(n):
+        def mk(i):
+            return F.concat_ws(" ", *[
+                F.element_at(toks, i + j) for j in range(n)])
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.struct(F.lit(n).alias("n"),
+                                           mk(i).alias("g")))
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,g:string>>"))
+
+    exploded = docs.select(
+        F.col(id_col),
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        .alias("tok_chars"),
+        F.explode(F.concat(*[gram_array(n) for n in ns])).alias("x"),
+    ).select(id_col, "tok_chars", "x.n", "x.g")
+    counts = exploded.groupBy(id_col, "tok_chars", "n", "g").agg(
+        F.count("*").alias("c"))
+    glen = F.length("g") - (F.col("n") - 1)  # token chars (minus spaces)
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max(F.struct(F.col("c"), glen.alias("gl"), F.col("g"))).alias("m"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * glen).otherwise(0))
+        .alias("dup_chars"),
+        F.first("tok_chars").alias("tc"),
+    ).select(
+        id_col, "n",
+        F.floor(F.col("m.c") * F.col("m.gl") * 1000.0 / F.col("tc"))
+        .cast("long").alias("top_pm"),
+        F.least(F.lit(1000), F.floor(
+            F.col("dup_chars") * 1000.0 / F.col("tc")).cast("long"))
+        .alias("dup_pm"),
+    )
+    agg_cols = (
+        [F.max(F.when(F.col("n") == n, F.col("top_pm")))
+         .alias(f"top_{n}gram_char_pm") for n in sorted(set(top_ns))]
+        + [F.max(F.when(F.col("n") == n, F.col("dup_pm")))
+           .alias(f"dup_{n}gram_char_pm") for n in sorted(set(dup_ns))]
+    )
+    stats = per_n.groupBy(id_col).agg(*agg_cols)
+    out_cols = [c for c in stats.columns if c != id_col]
+    return docs.select(id_col).join(stats, id_col, "left").select(
+        id_col, *[F.coalesce(c, F.lit(0)).alias(c) for c in out_cols])

@@ -409,3 +409,66 @@ def test_line_dedup_properties_random_corpora(spark):
         spark.createDataFrame(list(once.items()), ["doc_id", "text"]),
         3).collect()}
     assert again == once
+
+
+def test_ngram_repetition_stats_vs_python_oracle(spark):
+    """Generalized Gopher n-gram family vs a direct Counter-based oracle,
+    plus consistency: top_2gram must equal repetition_stats' bigram."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from pii_spark.ops.textstats import ngram_repetition_stats, repetition_stats
+
+    rows = [
+        (0, "spam spam spam spam ham"),
+        (1, "um dois tres quatro cinco seis sete oito nove dez " * 3),
+        (2, "Prosa corrida normal sem repeticoes de qualquer especie."),
+        (3, ""),
+        (4, "a b a b a b a b a b a b"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def oracle(text, top_ns, dup_ns):
+        toks = [t for t in re.split(r"\s+", text) if t]
+        tc = sum(len(t) for t in toks)
+        out = {}
+        for n in sorted(set(top_ns) | set(dup_ns)):
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)] if len(toks) >= n else []
+            cnt = Counter(grams)
+            if cnt and tc:
+                c, gl, _g = max(
+                    (c, len(g) - (n - 1), g) for g, c in cnt.items())
+                top = int(c * gl * 1000 // tc)
+                dup = min(1000, int(sum(
+                    c * (len(g) - (n - 1)) for g, c in cnt.items()
+                    if c >= 2) * 1000 // tc))
+            else:
+                top = dup = 0
+            if n in top_ns:
+                out[f"top_{n}gram_char_pm"] = top
+            if n in dup_ns:
+                out[f"dup_{n}gram_char_pm"] = dup
+        return out
+
+    got = {r["doc_id"]: r.asDict()
+           for r in ngram_repetition_stats(
+               spark.createDataFrame(pdf), top_ns=(2, 3), dup_ns=(2, 5))
+           .collect()}
+    for doc_id, text in rows:
+        want = oracle(text, (2, 3), (2, 5))
+        g = {k: v for k, v in got[doc_id].items() if k != "doc_id"}
+        assert g == want, (doc_id, g, want)
+
+    # doc 4 is pure bigram repetition: near-total coverage both ways
+    assert got[4]["dup_2gram_char_pm"] >= 900
+    assert got[0]["top_2gram_char_pm"] > 500   # "spam spam" dominates
+    assert got[2]["dup_2gram_char_pm"] == 0
+
+    # consistency with the oracle-checked bigram operator
+    bi = {r["doc_id"]: r["top_bigram_char_pm"]
+          for r in repetition_stats(spark.createDataFrame(pdf)).collect()}
+    for d in bi:
+        assert bi[d] == got[d]["top_2gram_char_pm"], d
