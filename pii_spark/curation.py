@@ -1,0 +1,150 @@
+"""End-to-end corpus curation: the production DAG a training-data team
+runs over a crawl, composed from this engine's operators with an explicit
+drop-reason audit trail.
+
+Stage order (each stage sees only survivors of the previous ones, the
+order real pipelines use):
+
+1. **line-level boilerplate removal** (optional, ``ops.dedup.line_dedup``)
+   — transforms text, drops nothing.
+2. **quality gates** — token count + Gopher repetition signals
+   (``ops.textstats.repetition_stats`` / ``ngram_repetition_stats``);
+   cheap doc-local filters run BEFORE any corpus-wide dedup work.
+3. **exact dedup** — whitespace-normalized md5 fingerprint, keep the
+   minimum doc id per group.
+4. **near dedup** — MinHash+LSH candidates → exact-Jaccard verify →
+   connected components → keep each cluster's minimum id
+   (``ops.dedup._shingles`` / ``_jaccard_on_candidates`` /
+   ``connected_components``: the dedup_lsh_jaccard + dedup_clusters
+   composition).
+
+``curate`` returns ONE frame: every input doc id with its (possibly
+line-deduped) text and a ``drop_reason`` — null for survivors, else the
+FIRST stage that killed it (``too_short`` / ``repetitive`` /
+``exact_dup`` / ``near_dup``). Nothing silently disappears: the audit is
+``groupBy(drop_reason).count()`` away, and the kept corpus is
+``where drop_reason is null``. Every stage is shuffle-disciplined by its
+underlying operator (hashes and ids move, text moves only doc-locally);
+see each operator's own docstring for its 100 TB story.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pii_spark.ops.dedup import (
+    _jaccard_on_candidates,
+    _shingles,
+    connected_components,
+    line_dedup,
+)
+from pii_spark.ops.textstats import ngram_repetition_stats, repetition_stats
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    # Gopher-family thresholds (per-mille); None disables a gate
+    min_tokens: int | None = 30
+    max_dup_line_pm: int | None = 300
+    max_top_2gram_char_pm: int | None = 200
+    max_dup_5gram_char_pm: int | None = 300
+    # line-level boilerplate: drop lines in > this many docs; None = off
+    line_dedup_max_doc_freq: int | None = None
+    # normalized-fingerprint exact dedup (stage 3)
+    exact_dedup: bool = True
+    # near-dup verification threshold (Jaccard x1000); None disables stage 4
+    near_dup_jaccard_pm: int | None = 500
+
+    def __post_init__(self) -> None:
+        for name in ("min_tokens", "max_dup_line_pm",
+                     "max_top_2gram_char_pm", "max_dup_5gram_char_pm",
+                     "line_dedup_max_doc_freq", "near_dup_jaccard_pm"):
+            v = getattr(self, name)
+            if v is not None and v < 0:
+                raise ValueError(f"{name} must be >= 0, got {v}")
+
+
+def curate(docs: DataFrame, cfg: CurationConfig | None = None,
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, text, drop_reason) for every input doc — see module docstring."""
+    cfg = cfg or CurationConfig()
+    d = docs.select(F.col(id_col), F.col(text_col).alias("text"))
+    if cfg.line_dedup_max_doc_freq is not None:
+        d = line_dedup(d, cfg.line_dedup_max_doc_freq, id_col=id_col,
+                       text_col="text")
+
+    # --- stage 2: doc-local quality gates -------------------------------
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    sig = d.withColumn("n_tok", F.size(toks))
+    if cfg.max_dup_line_pm is not None:
+        sig = sig.join(
+            repetition_stats(d, id_col=id_col, text_col="text")
+            .select(id_col, "dup_line_pm"), id_col)
+    if (cfg.max_top_2gram_char_pm is not None
+            or cfg.max_dup_5gram_char_pm is not None):
+        sig = sig.join(
+            ngram_repetition_stats(d, top_ns=(2,), dup_ns=(5,),
+                                   id_col=id_col, text_col="text"),
+            id_col)
+    gates = []
+    if cfg.min_tokens is not None:
+        gates.append((F.col("n_tok") < cfg.min_tokens, "too_short"))
+    if cfg.max_dup_line_pm is not None:
+        gates.append((F.col("dup_line_pm") > cfg.max_dup_line_pm,
+                      "repetitive"))
+    if cfg.max_top_2gram_char_pm is not None:
+        gates.append((F.col("top_2gram_char_pm")
+                      > cfg.max_top_2gram_char_pm, "repetitive"))
+    if cfg.max_dup_5gram_char_pm is not None:
+        gates.append((F.col("dup_5gram_char_pm")
+                      > cfg.max_dup_5gram_char_pm, "repetitive"))
+    reason = F.lit(None).cast("string")
+    for cond, r in reversed(gates):  # first listed gate wins
+        reason = F.when(cond, r).otherwise(reason)
+    tagged = sig.select(id_col, "text", reason.alias("drop_reason"))
+    live = tagged.where(F.col("drop_reason").isNull()).select(id_col, "text")
+
+    # --- stage 3: exact dedup among quality survivors -------------------
+    if cfg.exact_dedup:
+        fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        keeper = (
+            live.select(F.col(id_col), fp.alias("fp"))
+            .groupBy("fp").agg(F.min(id_col).alias("keep_id"))
+        )
+        exact_losers = live.select(F.col(id_col), fp.alias("fp")).join(
+            keeper, "fp").where(F.col(id_col) != F.col("keep_id")) \
+            .select(id_col)
+    else:
+        exact_losers = live.limit(0).select(id_col)
+    live2 = live.join(exact_losers, id_col, "left_anti")
+
+    # --- stage 4: near dedup among the remainder ------------------------
+    if cfg.near_dup_jaccard_pm is not None:
+        sh = _shingles(live2.select(F.col(id_col).alias("doc_id"), "text"))
+        pairs = (
+            _jaccard_on_candidates(sh)
+            .where(F.col("jac") >= cfg.near_dup_jaccard_pm)
+            .select("id_a", "id_b")
+        )
+        comp = connected_components(
+            live2.select(F.col(id_col).alias("id")), pairs)
+        near_losers = comp.where("rep != id").select(
+            F.col("id").alias(id_col))
+    else:
+        near_losers = live2.limit(0).select(id_col)
+
+    # --- stitch the audit trail back together ---------------------------
+    return (
+        tagged
+        .join(exact_losers.select(
+            id_col, F.lit("exact_dup").alias("_r3")), id_col, "left")
+        .join(near_losers.select(
+            id_col, F.lit("near_dup").alias("_r4")), id_col, "left")
+        .select(
+            id_col, "text",
+            F.coalesce("drop_reason", "_r3", "_r4").alias("drop_reason"),
+        )
+    )
