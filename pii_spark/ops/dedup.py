@@ -551,3 +551,33 @@ def line_dedup(docs: DataFrame, max_doc_freq: int,
     # dropped row — losing the doc id would silently shrink the corpus
     return docs.select(id_col).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce("text", F.lit("")).alias("text"))
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    committed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-crawl incremental dedup: drop new documents whose normalized
+    content fingerprint already exists in a previously committed corpus —
+    recrawls re-fetch mostly unchanged pages, and re-admitting them both
+    wastes downstream compute and over-weights stable sites in training
+    mixes. Complements ``resume.committed_urls`` (same-URL skip): this
+    catches the same CONTENT under a different url (mirrors, tracking
+    params the canonicalizer missed, site moves).
+
+    ``committed`` needs only a text column (e.g. the results table's
+    ``extracted_text`` renamed); both sides reduce to 32-byte md5
+    fingerprints before the anti-join, so the shuffle carries
+    fingerprints — never text — and the committed side is read
+    column-pruned. Within the new batch itself, exact self-dedup
+    (``dedup_exact`` / ``curation.curate``) still applies — this operator
+    only subtracts what history already holds."""
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+    seen = committed.select(fp.alias("fp")).distinct()
+    return (
+        new_docs.withColumn("fp", fp)
+        .join(seen, "fp", "left_anti")
+        .drop("fp")
+    )

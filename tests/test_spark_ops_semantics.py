@@ -472,3 +472,29 @@ def test_ngram_repetition_stats_vs_python_oracle(spark):
           for r in repetition_stats(spark.createDataFrame(pdf)).collect()}
     for d in bi:
         assert bi[d] == got[d]["top_2gram_char_pm"], d
+
+
+def test_dedup_against_corpus_cross_crawl(spark):
+    """Incremental cross-crawl dedup: new docs whose normalized content a
+    committed corpus already holds are dropped — even under a DIFFERENT
+    url/id and whitespace/case jitter — while genuinely new content
+    passes."""
+    from pii_spark.ops.dedup import dedup_against_corpus
+
+    committed = spark.createDataFrame(
+        [("old1", "Conteudo ja visto na ultima safra."),
+         ("old2", "Outro documento historico estavel.")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [("n1", "Conteudo ja visto na ultima safra."),        # exact re-fetch
+         ("n2", "  conteudo JA visto   na ultima safra.  "),  # jittered twin
+         ("n3", "Conteudo genuinamente novo desta safra."),
+         ("n4", "Outro documento historico estavel.")],
+        ["doc_id", "text"])
+    kept = {r["doc_id"] for r in dedup_against_corpus(new, committed)
+            .collect()}
+    assert kept == {"n3"}
+    # columns pass through untouched; empty history keeps everything
+    allkept = dedup_against_corpus(new, committed.limit(0))
+    assert sorted(allkept.columns) == ["doc_id", "text"]
+    assert allkept.count() == 4
