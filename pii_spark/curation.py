@@ -26,6 +26,14 @@ FIRST stage that killed it (``too_short`` / ``repetitive`` /
 ``where drop_reason is null``. Every stage is shuffle-disciplined by its
 underlying operator (hashes and ids move, text moves only doc-locally);
 see each operator's own docstring for its 100 TB story.
+
+NOT fully lazy: when the dedup stages are enabled, ``curate`` eagerly
+materializes the skinny loser-id / candidate-pair frames
+(``localCheckpoint``) at call time — the connected-components loop runs
+a driver action per round, and unpinned lineage would re-execute the
+whole upstream pipeline every round and again per downstream action.
+The corpus-sized frames stay lazy; cache the returned frame if you will
+run several actions over it.
 """
 
 from __future__ import annotations
@@ -40,8 +48,9 @@ from pii_spark.ops.dedup import (
     _shingles,
     connected_components,
     line_dedup,
+    normalized_fp,
 )
-from pii_spark.ops.textstats import ngram_repetition_stats, repetition_stats
+from pii_spark.ops.textstats import dup_line_stats, ngram_repetition_stats
 
 
 @dataclass(frozen=True)
@@ -61,10 +70,17 @@ class CurationConfig:
     def __post_init__(self) -> None:
         for name in ("min_tokens", "max_dup_line_pm",
                      "max_top_2gram_char_pm", "max_dup_5gram_char_pm",
-                     "line_dedup_max_doc_freq", "near_dup_jaccard_pm"):
+                     "near_dup_jaccard_pm"):
             v = getattr(self, name)
             if v is not None and v < 0:
                 raise ValueError(f"{name} must be >= 0, got {v}")
+        # matches line_dedup's own bound so a bad value fails at CONFIG
+        # time with the same contract, not later inside curate()
+        if (self.line_dedup_max_doc_freq is not None
+                and self.line_dedup_max_doc_freq < 1):
+            raise ValueError(
+                f"line_dedup_max_doc_freq must be >= 1, got "
+                f"{self.line_dedup_max_doc_freq}")
 
 
 def curate(docs: DataFrame, cfg: CurationConfig | None = None,
@@ -80,9 +96,12 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
     sig = d.withColumn("n_tok", F.size(toks))
     if cfg.max_dup_line_pm is not None:
+        # line-stats-only helper: curate never reads the bigram half of
+        # repetition_stats, and the n-gram join below computes its own
         sig = sig.join(
-            repetition_stats(d, id_col=id_col, text_col="text")
-            .select(id_col, "dup_line_pm"), id_col)
+            dup_line_stats(d, id_col=id_col, text_col="text")
+            .select(id_col, "dup_line_pm"), id_col, "left") \
+            .withColumn("dup_line_pm", F.coalesce("dup_line_pm", F.lit(0)))
     if (cfg.max_top_2gram_char_pm is not None
             or cfg.max_dup_5gram_char_pm is not None):
         sig = sig.join(
@@ -109,14 +128,18 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
 
     # --- stage 3: exact dedup among quality survivors -------------------
     if cfg.exact_dedup:
-        fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        fp = normalized_fp("text")  # the SHARED fingerprint (see dedup.py)
         keeper = (
             live.select(F.col(id_col), fp.alias("fp"))
             .groupBy("fp").agg(F.min(id_col).alias("keep_id"))
         )
+        # skinny (ids only) + eagerly checkpointed: the connected-
+        # components loop below runs a driver action per round, and an
+        # unpinned lineage would re-execute line dedup + quality stats +
+        # this dedup on EVERY round and again per downstream action
         exact_losers = live.select(F.col(id_col), fp.alias("fp")).join(
             keeper, "fp").where(F.col(id_col) != F.col("keep_id")) \
-            .select(id_col)
+            .select(id_col).localCheckpoint(eager=True)
     else:
         exact_losers = live.limit(0).select(id_col)
     live2 = live.join(exact_losers, id_col, "left_anti")
@@ -128,9 +151,11 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
             _jaccard_on_candidates(sh)
             .where(F.col("jac") >= cfg.near_dup_jaccard_pm)
             .select("id_a", "id_b")
+            .localCheckpoint(eager=True)  # pins the LSH+verify result
         )
-        comp = connected_components(
-            live2.select(F.col(id_col).alias("id")), pairs)
+        ids = live2.select(F.col(id_col).alias("id")) \
+            .localCheckpoint(eager=True)
+        comp = connected_components(ids, pairs)
         near_losers = comp.where("rep != id").select(
             F.col("id").alias(id_col))
     else:

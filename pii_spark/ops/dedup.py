@@ -553,10 +553,19 @@ def line_dedup(docs: DataFrame, max_doc_freq: int,
         id_col, F.coalesce("text", F.lit("")).alias("text"))
 
 
+def normalized_fp(text_col: str = "text"):
+    """THE content fingerprint: md5 over whitespace-collapsed lowercase
+    text. Single definition shared by ``dedup_against_corpus``,
+    ``curation.curate`` and the ``doc_fingerprint`` query — cross-crawl
+    dedup's correctness rests on fingerprint stability across code
+    versions, so the normalization must not be able to drift between call
+    sites."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+
+
 def dedup_against_corpus(
     new_docs: DataFrame,
     committed: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Cross-crawl incremental dedup: drop new documents whose normalized
@@ -574,10 +583,10 @@ def dedup_against_corpus(
     column-pruned. Within the new batch itself, exact self-dedup
     (``dedup_exact`` / ``curation.curate``) still applies — this operator
     only subtracts what history already holds."""
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
-    seen = committed.select(fp.alias("fp")).distinct()
+    fp = normalized_fp(text_col)
+    seen = committed.select(fp.alias("__fp")).distinct()
     return (
-        new_docs.withColumn("fp", fp)
-        .join(seen, "fp", "left_anti")
-        .drop("fp")
+        new_docs.withColumn("__fp", fp)
+        .join(seen, "__fp", "left_anti")
+        .drop("__fp")
     )

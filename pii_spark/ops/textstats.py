@@ -148,8 +148,10 @@ def register_queries(register) -> None:
     def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Document fingerprinting: md5 over whitespace-normalized lowercase
         text (content hash for exact dedup at scale)."""
+        from pii_spark.ops.dedup import normalized_fp  # noqa: PLC0415
+
         d = _t(spark, sf_dir, "documents")
-        fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        fp = normalized_fp("text")
         return (
             d.select("source", fp.alias("fp"))
             .groupBy("source").agg(
@@ -334,6 +336,32 @@ def register_queries(register) -> None:
         )
 
 
+def dup_line_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Line-repetition half of ``repetition_stats``, standalone so callers
+    needing only the line gates (``curation.curate``) skip the bigram
+    explode entirely. Per doc: ``dup_line_pm`` (per-mille of non-blank
+    lines repeating an earlier line) and ``dup_line_char_pm`` (per-mille
+    of non-blank line chars inside repeated lines). Docs with no non-blank
+    lines are ABSENT (callers coalesce to 0)."""
+    lines = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("l")
+    ).select(
+        # full whitespace trim (not F.trim's spaces-only): CRLF corpora
+        # leave '\r' on every line, which must not break line identity
+        id_col, F.regexp_replace("l", r"^\s+|\s+$", "").alias("l"),
+    ).where(F.col("l") != "")
+    per_line = lines.groupBy(id_col, "l").agg(F.count("*").alias("c"))
+    return per_line.groupBy(id_col).agg(
+        F.floor(F.sum(F.col("c") - 1) * 1000.0 / F.sum("c"))
+        .cast("long").alias("dup_line_pm"),
+        F.floor(F.sum(F.when(F.col("c") > 1,
+                             F.col("c") * F.length("l")).otherwise(0))
+                * 1000.0 / F.sum(F.col("c") * F.length("l")))
+        .cast("long").alias("dup_line_char_pm"),
+    )
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
@@ -353,22 +381,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     Filter downstream with e.g. ``dup_line_pm < 300`` (the Gopher-family
     thresholds); this operator only measures.
     """
-    lines = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("l")
-    ).select(
-        # full whitespace trim (not F.trim's spaces-only): CRLF corpora
-        # leave '\r' on every line, which must not break line identity
-        id_col, F.regexp_replace("l", r"^\s+|\s+$", "").alias("l"),
-    ).where(F.col("l") != "")
-    per_line = lines.groupBy(id_col, "l").agg(F.count("*").alias("c"))
-    line_stats = per_line.groupBy(id_col).agg(
-        F.floor(F.sum(F.col("c") - 1) * 1000.0 / F.sum("c"))
-        .cast("long").alias("dup_line_pm"),
-        F.floor(F.sum(F.when(F.col("c") > 1,
-                             F.col("c") * F.length("l")).otherwise(0))
-                * 1000.0 / F.sum(F.col("c") * F.length("l")))
-        .cast("long").alias("dup_line_char_pm"),
-    )
+    line_stats = dup_line_stats(docs, id_col=id_col, text_col=text_col)
 
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     grams = docs.select(
@@ -393,8 +406,10 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             F.col("g"))).alias("m"))
         .select(
             id_col,
-            F.floor(F.col("m.c") * F.col("m.glen") * 1000.0
-                    / F.col("tok_chars")).cast("long")
+            # capped like the ngram family: overlapping repeats multi-count
+            F.least(F.lit(1000), F.floor(
+                F.col("m.c") * F.col("m.glen") * 1000.0
+                / F.col("tok_chars")).cast("long"))
             .alias("top_bigram_char_pm"),
         )
     )
@@ -471,8 +486,12 @@ def ngram_repetition_stats(
         F.first("tok_chars").alias("tc"),
     ).select(
         id_col, "n",
-        F.floor(F.col("m.c") * F.col("m.gl") * 1000.0 / F.col("tc"))
-        .cast("long").alias("top_pm"),
+        # both capped at 1000: overlapping occurrences multi-count chars
+        # ("a a a a" has 3 overlapping "a a"), so the raw sums can exceed
+        # the doc — consumers treat these as [0, 1000] fractions
+        F.least(F.lit(1000), F.floor(
+            F.col("m.c") * F.col("m.gl") * 1000.0 / F.col("tc"))
+            .cast("long")).alias("top_pm"),
         F.least(F.lit(1000), F.floor(
             F.col("dup_chars") * 1000.0 / F.col("tc")).cast("long"))
         .alias("dup_pm"),

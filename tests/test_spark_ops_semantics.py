@@ -341,8 +341,9 @@ def test_repetition_stats_vs_duckdb_oracle(spark):
           FROM grams GROUP BY doc_id, tok_chars, g),
         top AS (
           SELECT doc_id,
-                 CAST(floor(c * (length(g) - 1) * 1000.0 / tok_chars)
-                      AS BIGINT) AS top_bigram_char_pm
+                 least(1000, CAST(floor(c * (length(g) - 1) * 1000.0
+                                        / tok_chars) AS BIGINT))
+                   AS top_bigram_char_pm
           FROM counted WHERE rn = 1)
         SELECT d.doc_id, coalesce(ls.dup_line_pm, 0),
                coalesce(ls.dup_line_char_pm, 0),
@@ -427,6 +428,7 @@ def test_ngram_repetition_stats_vs_python_oracle(spark):
         (2, "Prosa corrida normal sem repeticoes de qualquer especie."),
         (3, ""),
         (4, "a b a b a b a b a b a b"),
+        (5, "a a a a"),  # overlapping repeats: raw coverage 1500 -> cap 1000
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
 
@@ -441,7 +443,7 @@ def test_ngram_repetition_stats_vs_python_oracle(spark):
             if cnt and tc:
                 c, gl, _g = max(
                     (c, len(g) - (n - 1), g) for g, c in cnt.items())
-                top = int(c * gl * 1000 // tc)
+                top = min(1000, int(c * gl * 1000 // tc))
                 dup = min(1000, int(sum(
                     c * (len(g) - (n - 1)) for g, c in cnt.items()
                     if c >= 2) * 1000 // tc))
@@ -466,6 +468,7 @@ def test_ngram_repetition_stats_vs_python_oracle(spark):
     assert got[4]["dup_2gram_char_pm"] >= 900
     assert got[0]["top_2gram_char_pm"] > 500   # "spam spam" dominates
     assert got[2]["dup_2gram_char_pm"] == 0
+    assert got[5]["top_2gram_char_pm"] == 1000  # capped, never > 1000
 
     # consistency with the oracle-checked bigram operator
     bi = {r["doc_id"]: r["top_bigram_char_pm"]
