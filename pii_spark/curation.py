@@ -27,13 +27,13 @@ FIRST stage that killed it (``too_short`` / ``repetitive`` /
 underlying operator (hashes and ids move, text moves only doc-locally);
 see each operator's own docstring for its 100 TB story.
 
-NOT fully lazy: when the dedup stages are enabled, ``curate`` eagerly
-materializes the skinny loser-id / candidate-pair frames
-(``localCheckpoint``) at call time — the connected-components loop runs
-a driver action per round, and unpinned lineage would re-execute the
-whole upstream pipeline every round and again per downstream action.
-The corpus-sized frames stay lazy; cache the returned frame if you will
-run several actions over it.
+NOT fully lazy when near-dedup is on: the connected-components loop runs
+a driver action per round, so ``curate`` transiently persists the live
+corpus and the verified pairs for the loop's duration (released before
+returning; persist keeps lineage, so executor loss recomputes instead of
+breaking the frame). With ``near_dup_jaccard_pm=None`` the returned plan
+is fully lazy. Cache the returned frame if you will run several actions
+over it.
 """
 
 from __future__ import annotations
@@ -81,6 +81,17 @@ class CurationConfig:
             raise ValueError(
                 f"line_dedup_max_doc_freq must be >= 1, got "
                 f"{self.line_dedup_max_doc_freq}")
+        # the repetition metrics are per-mille values CAPPED at 1000, so a
+        # gate threshold >= 1000 can never fire — reject the dead config
+        # instead of silently keeping everything
+        for name in ("max_dup_line_pm", "max_top_2gram_char_pm",
+                     "max_dup_5gram_char_pm"):
+            v = getattr(self, name)
+            if v is not None and v >= 1000:
+                raise ValueError(
+                    f"{name} >= 1000 can never fire (metric is per-mille, "
+                    f"capped at 1000); got {v} — use None to disable the "
+                    "gate")
 
 
 def curate(docs: DataFrame, cfg: CurationConfig | None = None,
@@ -133,31 +144,43 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
             live.select(F.col(id_col), fp.alias("fp"))
             .groupBy("fp").agg(F.min(id_col).alias("keep_id"))
         )
-        # skinny (ids only) + eagerly checkpointed: the connected-
-        # components loop below runs a driver action per round, and an
-        # unpinned lineage would re-execute line dedup + quality stats +
-        # this dedup on EVERY round and again per downstream action
         exact_losers = live.select(F.col(id_col), fp.alias("fp")).join(
             keeper, "fp").where(F.col(id_col) != F.col("keep_id")) \
-            .select(id_col).localCheckpoint(eager=True)
+            .select(id_col)
     else:
         exact_losers = live.limit(0).select(id_col)
     live2 = live.join(exact_losers, id_col, "left_anti")
 
     # --- stage 4: near dedup among the remainder ------------------------
     if cfg.near_dup_jaccard_pm is not None:
-        sh = _shingles(live2.select(F.col(id_col).alias("doc_id"), "text"))
+        # The connected-components loop runs a driver action per round, so
+        # its inputs must not re-execute the upstream DAG every round:
+        # PERSIST (not localCheckpoint — persist keeps lineage, so losing
+        # an executor's blocks recomputes instead of permanently breaking
+        # the frame) live2 once and the verified pairs once. Both caches
+        # are released before returning: CC's result is internally
+        # localCheckpointed (self-contained), and the returned frame only
+        # references tagged/exact_losers/near_losers. This stage is the
+        # ONLY eager path in curate(); with near-dedup off the plan stays
+        # fully lazy.
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        live2_p = live2.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _shingles(live2_p.select(F.col(id_col).alias("doc_id"), "text"))
         pairs = (
             _jaccard_on_candidates(sh)
             .where(F.col("jac") >= cfg.near_dup_jaccard_pm)
             .select("id_a", "id_b")
-            .localCheckpoint(eager=True)  # pins the LSH+verify result
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        ids = live2.select(F.col(id_col).alias("id")) \
-            .localCheckpoint(eager=True)
-        comp = connected_components(ids, pairs)
-        near_losers = comp.where("rep != id").select(
-            F.col("id").alias(id_col))
+        try:
+            comp = connected_components(
+                live2_p.select(F.col(id_col).alias("id")), pairs)
+            near_losers = comp.where("rep != id").select(
+                F.col("id").alias(id_col))
+        finally:
+            pairs.unpersist()
+            live2_p.unpersist()
     else:
         near_losers = live2.limit(0).select(id_col)
 

@@ -566,6 +566,7 @@ def normalized_fp(text_col: str = "text"):
 def dedup_against_corpus(
     new_docs: DataFrame,
     committed: DataFrame,
+    *,
     text_col: str = "text",
 ) -> DataFrame:
     """Cross-crawl incremental dedup: drop new documents whose normalized
