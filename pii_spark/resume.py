@@ -180,7 +180,7 @@ def run_incremental(
     run_id: str,
     cfg: ExtractConfig | None = None,
     num_partitions: int | None = None,
-    max_error_rate: float | None = None,
+    max_error_rate: float | None = 0.5,
 ) -> dict:
     """One resumable increment: anti-join committed urls, extract the
     remainder, commit results + lineage, then write the commit marker.
@@ -213,7 +213,10 @@ def run_incremental(
     landed results stay in the normal crashed-run state (invisible to
     readers; ``adopt_crashed_runs`` can salvage after inspection,
     ``vacuum_uncommitted`` discards, the urls re-extract under the next
-    id). None (default) disables the check.
+    id). The breaker is ON BY DEFAULT at 0.5 — per-page quarantine plus an
+    opt-in breaker would let an unconfigured job commit a 100%-garbage run
+    (broken weights, corrupted runtime) as "done". Pass 1.0 or None to
+    disable for corpora where majority-error batches are expected.
     """
     run_id = str(run_id)
     if max_error_rate is not None and not 0.0 <= max_error_rate <= 1.0:
@@ -312,7 +315,6 @@ def migrate_lineage_layout(spark: SparkSession, lineage_dir: str) -> int:
             p = os.path.join(lineage_dir, name)
             if os.path.isfile(p):
                 os.remove(p)
-        os.remove(manifest)
         for d in os.listdir(staging):
             if d.startswith("run_id="):
                 dst = os.path.join(lineage_dir, d)
@@ -321,6 +323,13 @@ def migrate_lineage_layout(spark: SparkSession, lineage_dir: str) -> int:
                         shutil.move(os.path.join(staging, d, part), dst)
                 else:
                     shutil.move(os.path.join(staging, d), dst)
+        # the manifest must outlive the partition moves: while it exists a
+        # rerun re-enters here (deletes and moves are both idempotent). If
+        # it were removed first, a crash between the removal and the moves
+        # would leave staging manifest-less with the flat sources already
+        # deleted — and the "incomplete write" rmtree branch below would
+        # then destroy the only remaining copy of the unmoved rows.
+        os.remove(manifest)
         shutil.rmtree(staging)
         return int(m["rows"])
 

@@ -171,13 +171,16 @@ def stratified_sample(
         lit for s, frac in sorted(fractions.items())
         for lit in (F.lit(s), F.lit(split_threshold_hex(frac)))
     ])
+    # hash the DIGESTS, not a delimiter-joined string: fixed-width md5 hex
+    # makes the (key, stratum) encoding unambiguous — with '|'-joining, key
+    # 'a|b'/stratum 'c' and key 'a'/stratum 'b|c' would share one hash and
+    # sample in lockstep, exactly the correlation the stratum salt exists
+    # to prevent. F.concat/F.md5 propagate nulls, so a null key or stratum
+    # yields a null h and the row drops at any fraction (never aliases).
     h = F.substring(
-        F.md5(F.concat_ws("|", F.col(key_col).cast("string"),
-                          F.col(strata_col), F.lit(f"sample:{seed}"))),
+        F.md5(F.concat(F.md5(F.col(key_col).cast("string")),
+                       F.md5(F.col(strata_col)),
+                       F.lit(f"sample:{seed}"))),
         1, 4)
-    # concat_ws skips nulls, which would alias (null key, stratum s) with
-    # (key "s", null stratum) etc. — null keys must DROP, not alias
-    h = F.when(F.col(key_col).isNotNull() & F.col(strata_col).isNotNull(),
-               h)
     thr = thresholds[F.col(strata_col)]
     return df.where(thr.isNotNull() & (h < thr))

@@ -35,10 +35,11 @@ def main() -> int:
         help="unique id for this increment (default: run-<epoch-ms>)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument(
-        "--max-error-rate", type=float, default=None, metavar="FRACTION",
+        "--max-error-rate", type=float, default=0.5, metavar="FRACTION",
         help="quarantine circuit breaker: refuse to commit the increment "
              "if more than this fraction of pages error (systemic-failure "
-             "guard; the landed results stay adoptable/vacuumable)")
+             "guard; the landed results stay adoptable/vacuumable). "
+             "Default 0.5; pass 1.0 to disable")
     ap.add_argument(
         "--redact", choices=["tag", "mask"], default=None,
         help="also write publishable redacted text ([TYPE] tags or "
@@ -60,7 +61,7 @@ def main() -> int:
     from pii_spark.resume import run_incremental
     from pii_spark.synth import pages_df
 
-    def write_redacted(run_id: str) -> str:
+    def write_redacted(run_id: str) -> str | None:
         # one codegen projection over the run's COMMITTED results — reads
         # back the landed parquet, never re-runs extraction. Overwrite
         # makes the step idempotent: a partial dir from a crashed redact
@@ -68,11 +69,17 @@ def main() -> int:
         from pyspark.sql import functions as F
 
         from pii_spark.ops.redact import redact_results
-        from pii_spark.resume import _committed_schema, committed_run_ids
+        from pii_spark.resume import (
+            _committed_schema,
+            _run_partition_dirs,
+            committed_run_ids,
+        )
 
         if run_id not in committed_run_ids(args.output):
             raise SystemExit(f"run_id {run_id!r} is not committed in "
                              f"{args.output!r}")
+        if not _run_partition_dirs(args.output, run_id):
+            return None  # zero-doc commit: marker exists, no parquet landed
         committed = (
             spark.read.schema(_committed_schema()).parquet(args.output)
             .where(F.col("run_id") == run_id)
@@ -108,7 +115,10 @@ def main() -> int:
         max_error_rate=args.max_error_rate,
     )
     if args.redact:
-        out["redacted_dir"] = write_redacted(run_id)
+        # a zero-doc increment commits via the early-return path without
+        # ever landing parquet — reading args.output back would crash
+        # AFTER a successful commit; there is nothing to redact anyway
+        out["redacted_dir"] = write_redacted(run_id) if out["docs"] else None
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -371,6 +371,54 @@ def test_migration_crash_mid_delete_loses_no_rows(spark, tmp_path):
     assert summ == {"a": 3, "b": 7}  # both legacy runs intact
 
 
+def test_migration_crash_mid_move_loses_no_rows(spark, tmp_path):
+    """Kill window AFTER the flat sources are deleted and PART of the
+    staged partitions are moved in: the manifest must still be present
+    (it is removed only once every move completed), so the rerun finishes
+    from it. Under the old ordering (manifest removed before the moves) a
+    crash here left staging manifest-less with the sources already gone,
+    and the rerun's incomplete-write branch rmtree'd the only remaining
+    copy of the unmoved rows."""
+    import os
+    import shutil
+
+    import pii_spark.resume as resume
+
+    ldir = str(tmp_path / "lin")
+    schema = ("run_id string, partition_id int, docs long, bytes long, "
+              "spans_by_type map<string,bigint>")
+    for rid, docs in [("a", 3), ("b", 7)]:
+        spark.createDataFrame([(rid, 0, docs, 100, {"CONTATO": 1})], schema) \
+            .select("partition_id", "docs", "bytes", "spans_by_type",
+                    "run_id").coalesce(1).write.mode("append").parquet(ldir)
+
+    # phase 1 for real: staging + manifest
+    flat = resume._flat_lineage_files(ldir)
+    assert len(flat) == 2
+    staging = ldir.rstrip("/") + ".migrated"
+    spark.read.parquet(*flat).write.mode("overwrite") \
+        .partitionBy("run_id").parquet(staging)
+    import json as _json
+    with open(os.path.join(staging, "_MIGRATION_MANIFEST.json"), "w") as f:
+        _json.dump({"sources": [os.path.basename(p) for p in flat],
+                    "rows": 2}, f)
+    # simulate the crash window: all sources deleted, ONE partition moved
+    for p in flat:
+        os.remove(p)
+    shutil.move(os.path.join(staging, "run_id=a"),
+                os.path.join(ldir, "run_id=a"))
+
+    assert resume.migrate_lineage_layout(spark, ldir) == 2
+    assert not os.path.isdir(staging)
+    rdir = str(tmp_path / "res")
+    os.makedirs(resume._commits_dir(rdir))
+    for rid in ("a", "b"):
+        resume._write_marker(rdir, rid, 0)
+    summ = {r["run_id"]: r["docs"]
+            for r in lineage_summary(spark, ldir, rdir).collect()}
+    assert summ == {"a": 3, "b": 7}  # run b survived the crash window
+
+
 def test_vacuum_handles_hive_escaped_run_ids(spark, tmp_path, monkeypatch):
     # A natural run id like a timestamp contains ':', which Spark
     # hive-escapes in the partition dir name (run_id=...10%3A30%3A00).

@@ -165,10 +165,12 @@ def test_stratified_sample_deterministic_and_oracle(spark):
 
     con = duckdb.connect()
     con.register("t", pdf)
-    # 'g' sorts after every hex char: the keep-all threshold for frac=1.0
+    # 'g' sorts after every hex char: the keep-all threshold for frac=1.0.
+    # Digest-concat encoding (md5(key)||md5(stratum)||tag): fixed-width
+    # fields, so no delimiter can alias distinct (key, stratum) pairs.
     want = sorted(x[0] for x in con.sql("""
         SELECT rid FROM t
-        WHERE substring(md5(doc_key || '|' || tld || '|sample:7'), 1, 4) <
+        WHERE substring(md5(md5(doc_key) || md5(tld) || 'sample:7'), 1, 4) <
               CASE tld WHEN 'com' THEN '8000'
                        WHEN 'org' THEN '199a'
                        WHEN 'gov' THEN 'g' END
@@ -209,6 +211,25 @@ def test_stratified_sample_deterministic_and_oracle(spark):
     nulls = stratified_sample(spark.createDataFrame(with_null),
                               fracs, "tld", "doc_key", seed=7)
     assert nulls.where("doc_key is null").count() == 0
+
+
+def test_stratified_sample_delimiter_keys_do_not_alias(spark):
+    """A '|' inside the key or stratum must NOT correlate sampling
+    decisions across distinct (key, stratum) pairs: under the old
+    '|'-joined encoding, key 'a|b'/stratum 'c' and key 'a'/stratum 'b|c'
+    hashed identically and sampled in lockstep at every fraction."""
+    from pii_spark.training import stratified_sample
+
+    df = spark.createDataFrame(
+        [(0, "a|b", "c"), (1, "a", "b|c")], "rid long, k string, s string")
+    agree = 0
+    for frac in (0.1, 0.25, 0.5, 0.75, 0.9):
+        kept = {r["rid"] for r in stratified_sample(
+            df, {"c": frac, "b|c": frac}, "s", "k", seed=11).collect()}
+        agree += (0 in kept) == (1 in kept)
+    # independent hashes: the two rows must differ for at least one
+    # fraction (lockstep across all five is the aliasing signature)
+    assert agree < 5
 
 
 def test_stratified_sample_monotone_in_fraction(spark):
