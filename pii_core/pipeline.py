@@ -35,7 +35,7 @@ from typing import Callable
 import numpy as np
 
 from pii_core.chunking import ChunkingConfigError, build_chunks
-from pii_core.decoding import viterbi_bio
+from pii_core.decoding import viterbi_bio, viterbi_bio_batch
 from pii_core.detectors import detect_spans
 from pii_core.html_extract import html_to_text
 from pii_core.labels import PII_TYPES, label_maps
@@ -149,6 +149,21 @@ _PII_SET = frozenset(PII_TYPES)
 
 _SINGLE_CHUNK_FAST = True
 
+# Documents per cross-document batched-Viterbi call (extract_page_batch):
+# the packed DP's NumPy call overhead amortizes up to ~64 sequences, then
+# cache pressure erodes the win (measured on C=27).
+_DECODE_BATCH_DOCS = 64
+# Docs buffered before decode batches are cut. Web corpora are heavy-tailed
+# (p50 ~170 tokens, p99 ~4500 on the synthetic corpus): batching FIFO would
+# pair one long doc with 63 short ones, and after the short ones retire the
+# packed DP crawls through thousands of near-empty steps. Sorting a wider
+# window by length first makes every sub-batch length-homogeneous.
+_DECODE_WINDOW_DOCS = 8 * _DECODE_BATCH_DOCS
+# Token-row cap per packed sub-batch: bounds the float64 packed matrix and
+# int32 backpointers (~500k rows * 27 labels ≈ 160 MB together) when the
+# window holds many book-length documents.
+_DECODE_CELL_BUDGET = 500_000
+
 
 def _chunk_emissions(chunks, tokenizer, emitter: Emitter, batch_size: int):
     """Yield (chunk, offsets, (T,C) emissions) in chunk order, micro-batching
@@ -193,12 +208,18 @@ def _label_ctx(emitter: Emitter):
     return labels_list, l2i, id2label, l2i["O"]
 
 
-def _decode_and_filter(keys, em_global, cfg: ExtractConfig, ctx) -> list[Span]:
+def _decode_and_filter(keys, em_global, cfg: ExtractConfig, ctx,
+                       pred: list[int] | None = None) -> list[Span]:
+    """Spans from a (K,C) emission matrix. ``pred`` short-circuits the
+    decode when the label path was already computed (the cross-document
+    batched-Viterbi path) — it must be exactly what ``viterbi_bio`` would
+    return for this matrix."""
     labels_list, _l2i, id2label, o_id = ctx
-    if cfg.decode == "bio_viterbi":
-        pred = viterbi_bio(em_global, labels_list, o_id)
-    else:
-        pred = [int(x) for x in np.argmax(em_global, axis=-1)]
+    if pred is None:
+        if cfg.decode == "bio_viterbi":
+            pred = viterbi_bio(em_global, labels_list, o_id)
+        else:
+            pred = [int(x) for x in np.argmax(em_global, axis=-1)]
     spans = spans_from_bio(keys, pred, em_global, id2label, cfg.conf_agg)
     return filter_spans(
         spans,
@@ -209,6 +230,79 @@ def _decode_and_filter(keys, em_global, cfg: ExtractConfig, ctx) -> list[Span]:
     )
 
 
+def _mean_logit_matrix(items, n_chunks: int):
+    """One document's global (keys, (K,C) mean-logit matrix) from its
+    (chunk, offsets, emissions) stream, or None if no tokens survive.
+    ``keys`` are sorted global (start,end) char offsets."""
+    # Single-chunk fast path (the common case for web pages): no overlap
+    # to average, so the chunk emissions ARE the global emissions —
+    # identical result to the dict accumulation below with count=1
+    # (tests flip _SINGLE_CHUNK_FAST to assert the equivalence).
+    if _SINGLE_CHUNK_FAST and n_chunks == 1:
+        got = list(items)
+        if not got:
+            return None
+        ch, offs, em = got[0]
+        keys = [(a + ch.char_start, b + ch.char_start)
+                for a, b in offs if a < b]
+        if not keys:
+            return None
+        em_global = np.asarray(em, dtype=np.float32)
+        if len(keys) != len(offs):
+            em_global = em_global[
+                [i for i, (a, b) in enumerate(offs) if a < b]]
+        return keys, em_global
+
+    # Accumulate per-token logits keyed by GLOBAL (start,end) char offsets
+    # so overlapping chunks average out (reference infer_pii.py:209-235).
+    # Dense vectorized form of the reference's dict accumulation (the
+    # eval-path idiom, infer_pii.py:853-894): assign each key a row in a
+    # (K,C) fp32 array and add whole chunks with one fancy-index += —
+    # per-token ndarray allocation was the multi-chunk hot spot. fp32
+    # accumulation order per key is unchanged (chunks processed in chunk
+    # order; a key appears at most once per chunk, and if an emitter
+    # ever repeats offsets within a chunk, np.add.at preserves the
+    # token-order adds the dict form would have done).
+    got = [(ch, offs, np.asarray(em, dtype=np.float32))
+           for ch, offs, em in items]
+    key_index: dict[tuple[int, int], int] = {}
+    plans = []  # (token_rows, key_rows) per chunk
+    for ch, offs, _em in got:
+        rows, idxs = [], []
+        add = rows.append
+        for ti, (a, b) in enumerate(offs):
+            ga = a + ch.char_start
+            gb = b + ch.char_start
+            if ga >= gb:
+                continue
+            idxs.append(key_index.setdefault((ga, gb), len(key_index)))
+            add(ti)
+        plans.append((rows, idxs))
+    k = len(key_index)
+    if not k:
+        return None
+    n_classes = got[0][2].shape[1]
+    acc = np.zeros((k, n_classes), dtype=np.float32)
+    cnt = np.zeros(k, dtype=np.float32)
+    for (_ch, _offs, em), (rows, idxs) in zip(got, plans):
+        ia = np.asarray(idxs, dtype=np.intp)
+        sel = em if len(rows) == em.shape[0] else em[rows]
+        if ia.size == np.unique(ia).size:
+            acc[ia] += sel
+            cnt[ia] += 1.0
+        else:  # repeated key within one chunk: unbuffered ordered adds
+            np.add.at(acc, ia, sel)
+            np.add.at(cnt, ia, 1.0)
+    keys = sorted(key_index)
+    order = np.fromiter((key_index[kk] for kk in keys), dtype=np.intp,
+                        count=k)
+    # one vectorized fp32 divide — elementwise-identical to dividing each
+    # row by its count (same operands, same IEEE op)
+    em_global = (acc[order] / cnt[order][:, None]).astype(
+        np.float32, copy=False)
+    return keys, em_global
+
+
 def _decode_chunk_emissions(items, n_chunks: int, cfg: ExtractConfig,
                             ctx) -> list[Span]:
     """One document's NER spans from its (chunk, offsets, emissions) stream.
@@ -217,73 +311,10 @@ def _decode_chunk_emissions(items, n_chunks: int, cfg: ExtractConfig,
     result is byte-identical however the emissions were produced (per-chunk
     calls, per-document micro-batches, or cross-document batches)."""
     if cfg.aggregate == "mean_logits":
-        # Single-chunk fast path (the common case for web pages): no overlap
-        # to average, so the chunk emissions ARE the global emissions —
-        # identical result to the dict accumulation below with count=1
-        # (tests flip _SINGLE_CHUNK_FAST to assert the equivalence).
-        if _SINGLE_CHUNK_FAST and n_chunks == 1:
-            got = list(items)
-            if not got:
-                return []
-            ch, offs, em = got[0]
-            keys = [(a + ch.char_start, b + ch.char_start)
-                    for a, b in offs if a < b]
-            if not keys:
-                return []
-            em_global = np.asarray(em, dtype=np.float32)
-            if len(keys) != len(offs):
-                em_global = em_global[
-                    [i for i, (a, b) in enumerate(offs) if a < b]]
-            return _decode_and_filter(keys, em_global, cfg, ctx)
-
-        # Accumulate per-token logits keyed by GLOBAL (start,end) char offsets
-        # so overlapping chunks average out (reference infer_pii.py:209-235).
-        # Dense vectorized form of the reference's dict accumulation (the
-        # eval-path idiom, infer_pii.py:853-894): assign each key a row in a
-        # (K,C) fp32 array and add whole chunks with one fancy-index += —
-        # per-token ndarray allocation was the multi-chunk hot spot. fp32
-        # accumulation order per key is unchanged (chunks processed in chunk
-        # order; a key appears at most once per chunk, and if an emitter
-        # ever repeats offsets within a chunk, np.add.at preserves the
-        # token-order adds the dict form would have done).
-        got = [(ch, offs, np.asarray(em, dtype=np.float32))
-               for ch, offs, em in items]
-        key_index: dict[tuple[int, int], int] = {}
-        plans = []  # (token_rows, key_rows) per chunk
-        for ch, offs, _em in got:
-            rows, idxs = [], []
-            add = rows.append
-            for ti, (a, b) in enumerate(offs):
-                ga = a + ch.char_start
-                gb = b + ch.char_start
-                if ga >= gb:
-                    continue
-                idxs.append(key_index.setdefault((ga, gb), len(key_index)))
-                add(ti)
-            plans.append((rows, idxs))
-        k = len(key_index)
-        if not k:
+        kg = _mean_logit_matrix(items, n_chunks)
+        if kg is None:
             return []
-        n_classes = got[0][2].shape[1]
-        acc = np.zeros((k, n_classes), dtype=np.float32)
-        cnt = np.zeros(k, dtype=np.float32)
-        for (_ch, _offs, em), (rows, idxs) in zip(got, plans):
-            ia = np.asarray(idxs, dtype=np.intp)
-            sel = em if len(rows) == em.shape[0] else em[rows]
-            if ia.size == np.unique(ia).size:
-                acc[ia] += sel
-                cnt[ia] += 1.0
-            else:  # repeated key within one chunk: unbuffered ordered adds
-                np.add.at(acc, ia, sel)
-                np.add.at(cnt, ia, 1.0)
-        keys = sorted(key_index)
-        order = np.fromiter((key_index[kk] for kk in keys), dtype=np.intp,
-                            count=k)
-        # one vectorized fp32 divide — elementwise-identical to dividing each
-        # row by its count (same operands, same IEEE op)
-        em_global = (acc[order] / cnt[order][:, None]).astype(
-            np.float32, copy=False)
-        return _decode_and_filter(keys, em_global, cfg, ctx)
+        return _decode_and_filter(kg[0], kg[1], cfg, ctx)
 
     # aggregate == "none": per-chunk decode, shift to global offsets, merge later
     # (reference infer_pii.py:237-275).
@@ -444,12 +475,15 @@ def extract_page_batch(
     single-chunk documents share one forward pass.
 
     Streaming: documents are prepared (payload → text → chunks → offsets),
-    emitted, and finalized in ONE interleaved pass — a forward group fires
-    as soon as ``batch_size`` chunks are pending and each document is
-    finalized the moment its last chunk is through. Peak extra memory is
-    O(batch_size × chunk + one document), NOT O(Arrow batch): on a
-    heavy-tailed web corpus an up-front phase split would buffer every
-    chunk text and per-token offset tuple for all ~1024 batched docs.
+    emitted, aggregated, and finalized in ONE interleaved pass — a forward
+    group fires as soon as ``batch_size`` chunks are pending; a document's
+    chunks collapse to its (keys, mean-logit matrix) the moment its last
+    chunk is through; label decode runs in cross-document groups of
+    ``_DECODE_BATCH_DOCS`` (bit-identical batched Viterbi). Peak extra
+    memory is O(batch_size × chunk + _DECODE_BATCH_DOCS token matrices),
+    NOT O(Arrow batch): on a heavy-tailed web corpus an up-front phase
+    split would buffer every chunk text and per-token offset tuple for all
+    ~1024 batched docs.
 
     Byte-identity: group boundaries are consecutive ``batch_size`` slices
     of the global chunk stream (independent of where document boundaries
@@ -477,27 +511,117 @@ def extract_page_batch(
     ctx = _label_ctx(emitter)
     emit_batch = getattr(emitter, "emit_batch", None)
     step = max(1, int(cfg.batch_size)) if emit_batch is not None else 1
+    # Cross-document BATCHED Viterbi (the default decode+aggregate): docs
+    # whose emissions are complete queue their (keys, mean-logit matrix)
+    # and decode together in groups of _DECODE_BATCH_DOCS through
+    # viterbi_bio_batch — bit-identical paths, but the DP's per-step NumPy
+    # cost amortizes across the group (~3x decode speedup; decoding is the
+    # single-core hot spot when emissions are cheap). Output order is
+    # preserved: ready is FIFO in input order and flushes in order.
+    batched_viterbi = (cfg.decode == "bio_viterbi"
+                       and cfg.aggregate == "mean_logits")
+    labels_list, o_id = ctx[0], ctx[3]
 
     out: list[dict | Exception] = []
     # Docs whose emissions are still outstanding, in input order:
     # [url, extracted, n_chunks, err, n_left, items]
     pending: deque[list] = deque()
     buf: list = []  # (doc_state, chunk, offsets) awaiting a forward group
+    # Phase-A results awaiting the batched decode, in input order:
+    # ("done", record_or_exception) | ("decode", url, extracted, keys, em)
+    ready: deque[tuple] = deque()
 
-    def finalize(d) -> dict | Exception:
+    def finalize_record(url, extracted, ner) -> dict | Exception:
+        try:
+            spans, public = _finalize_document(extracted, ner, cfg)
+            return _page_record(url, extracted, spans, public)
+        except Exception as e:  # noqa: BLE001 — per-page quarantine
+            return e
+
+    def phase_a(d) -> tuple:
+        """Everything before the label decode: error routing + mean-logit
+        aggregation. Returns a ready-queue entry."""
         url, extracted, n_chunks, err, _n_left, items = d
         if err is None:
             err = next((em for _, _, em in items
                         if isinstance(em, Exception)), None)
         if err is not None:
-            return err
+            return ("done", err)
+        if not n_chunks:
+            return ("done", finalize_record(url, extracted, []))
+        if not batched_viterbi:
+            try:
+                ner = _decode_chunk_emissions(iter(items), n_chunks, cfg,
+                                              ctx)
+            except Exception as e:  # noqa: BLE001 — per-page quarantine
+                return ("done", e)
+            return ("done", finalize_record(url, extracted, ner))
         try:
-            ner = _decode_chunk_emissions(
-                iter(items), n_chunks, cfg, ctx) if n_chunks else []
-            spans, public = _finalize_document(extracted, ner, cfg)
-            return _page_record(url, extracted, spans, public)
+            kg = _mean_logit_matrix(items, n_chunks)
         except Exception as e:  # noqa: BLE001 — per-page quarantine
-            return e
+            return ("done", e)
+        if kg is None:
+            return ("done", finalize_record(url, extracted, []))
+        return ("decode", url, extracted, kg[0], kg[1])
+
+    def flush_ready(drain: bool) -> None:
+        while len(ready) >= _DECODE_WINDOW_DOCS or (drain and ready):
+            take = [ready.popleft()
+                    for _ in range(min(_DECODE_WINDOW_DOCS, len(ready)))]
+            dec = [r for r in take if r[0] == "decode"]
+            preds: dict[int, list[int] | Exception] = {}
+
+            def run_sub(sub: list[int]) -> None:
+                ems = [dec[j][4] for j in sub]
+                try:
+                    got = viterbi_bio_batch(ems, labels_list, o_id)
+                except Exception:  # noqa: BLE001 — isolate per page below
+                    # a batch-level failure must not poison healthy
+                    # neighbors: retry each document through the
+                    # single-sequence decoder and quarantine individually
+                    got = []
+                    for em in ems:
+                        try:
+                            got.append(viterbi_bio(em, labels_list, o_id))
+                        except Exception as e:  # noqa: BLE001
+                            got.append(e)
+                for j, p in zip(sub, got):
+                    preds[j] = p
+
+            if dec:
+                # longest-first so each packed sub-batch holds documents of
+                # similar length (decode order is free; output stays FIFO)
+                order = sorted(range(len(dec)), reverse=True,
+                               key=lambda j: dec[j][4].shape[0])
+                sub: list[int] = []
+                cells = 0
+                for j in order:
+                    k = int(dec[j][4].shape[0])
+                    if sub and (len(sub) >= _DECODE_BATCH_DOCS
+                                or cells + k > _DECODE_CELL_BUDGET):
+                        run_sub(sub)
+                        sub, cells = [], 0
+                    sub.append(j)
+                    cells += k
+                if sub:
+                    run_sub(sub)
+            di = 0
+            for r in take:
+                if r[0] == "done":
+                    out.append(r[1])
+                    continue
+                _, url, extracted, keys, em = r
+                pred = preds[di]
+                di += 1
+                if isinstance(pred, Exception):
+                    out.append(pred)
+                    continue
+                try:
+                    ner = _decode_and_filter(keys, em, cfg, ctx, pred=pred)
+                except Exception as e:  # noqa: BLE001 — per-page quarantine
+                    out.append(e)
+                    continue
+                out.append(finalize_record(url, extracted, ner))
 
     def pump(drain: bool) -> None:
         while len(buf) >= step or (drain and buf):
@@ -508,7 +632,8 @@ def extract_page_batch(
                 d[5].append((ch, offs, em))
                 d[4] -= 1
             while pending and pending[0][4] == 0:
-                out.append(finalize(pending.popleft()))
+                ready.append(phase_a(pending.popleft()))
+            flush_ready(drain=False)
 
     for url, html, text in records:
         d = [url, None, 0, None, 0, []]
@@ -546,5 +671,6 @@ def extract_page_batch(
             # partial emission stream into a plausible-but-wrong record
             d[3] = RuntimeError(
                 f"internal: {d[4]} emissions missing for {d[0]!r}")
-        out.append(finalize(d))
+        ready.append(phase_a(d))
+    flush_ready(drain=True)
     return out

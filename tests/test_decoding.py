@@ -96,6 +96,61 @@ def test_malformed_label_never_wins_under_deep_negative_scores(seed):
     assert got == brute_force(em, labels)
 
 
+def test_viterbi_batch_identical_paths_ties_included():
+    """viterbi_bio_batch must return element-identical paths to per-sequence
+    viterbi_bio — including on tie-heavy matrices where the tie-breaks (first
+    max; I-column prefers the B predecessor) decide the path."""
+    from pii_core.decoding import viterbi_bio_batch
+
+    rng = np.random.RandomState(3)
+    ems, masks = [], []
+    for i in range(120):
+        t = int(rng.randint(0, 30))
+        em = (rng.randn(t, len(LABELS5)) * 2).astype(np.float32)
+        if i % 2:
+            em = np.round(em)  # heavy ties: defeats the argmax shortcut
+        if i % 5 == 0 and t:
+            em[rng.randint(0, t)] = 0.0  # a full-row tie
+        mask = (rng.rand(t) < 0.3) if (i % 7 == 0 and t) else None
+        ems.append(em)
+        masks.append(mask)
+    want = [viterbi_bio(e, LABELS5, 0, m) for e, m in zip(ems, masks)]
+    assert viterbi_bio_batch(ems, LABELS5, 0, masks) == want
+
+
+def test_viterbi_batch_malformed_and_deep_negative():
+    # same dense-DP semantics for malformed columns as the single-seq DP
+    from pii_core.decoding import viterbi_bio_batch
+
+    labels = ["O", "B-A", "I-A", "garbage"]
+    rng = np.random.RandomState(11)
+    ems = []
+    for _ in range(8):
+        em = (rng.randn(6, len(labels)) * 3 - 4000).astype(np.float32)
+        em[:, 3] += 10
+        ems.append(em)
+    got = viterbi_bio_batch(ems, labels, 0)
+    for em, path in zip(ems, got):
+        assert 3 not in path
+        assert path == viterbi_bio(em, labels, 0)
+
+
+def test_viterbi_batch_edges():
+    from pii_core.decoding import viterbi_bio_batch
+
+    # empty batch, empty sequences, single non-shortcut sequence
+    assert viterbi_bio_batch([], LABELS5, 0) == []
+    ems = [np.zeros((0, 5), np.float32),
+           np.zeros((3, 5), np.float32),  # all-ties, length 3
+           np.zeros((1, 5), np.float32)]
+    want = [viterbi_bio(e, LABELS5, 0) for e in ems]
+    assert viterbi_bio_batch(ems, LABELS5, 0) == want
+    with pytest.raises(ValueError):
+        viterbi_bio_batch([np.zeros((3, 4), np.float32)], LABELS5, 0)
+    with pytest.raises(ValueError):  # mask count mismatch
+        viterbi_bio_batch([np.zeros((3, 5), np.float32)], LABELS5, 0, [])
+
+
 def test_softmax_stable_and_normalized():
     x = np.array([[1000.0, 1000.0, 999.0], [-1000.0, 0.0, 1.0]], dtype=np.float32)
     p = softmax(x)
