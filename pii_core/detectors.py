@@ -59,6 +59,95 @@ def _digits(s: str) -> str:
     return "".join(c for c in s if c.isdigit())
 
 
+# --- vectorized (batch) checksums -------------------------------------------
+# NumPy digit-matrix forms of the validators above for the Spark engine's
+# Arrow batches: candidates concatenate into one byte buffer, reshape to a
+# (N, n) digit matrix, and each check digit is one matvec + mod — no
+# per-element Python call in the hot path. Unicode-digit strings (which the
+# scalar validators accept via str.isdigit/int) are rare and routed through
+# the scalar function, so the batch forms are elementwise-identical.
+
+import numpy as np  # noqa: E402  (used only by the batch validators)
+
+_CPF_W9 = np.arange(10, 1, -1, dtype=np.int64)    # weights for digit 10
+_CPF_W10 = np.arange(11, 1, -1, dtype=np.int64)   # weights for digit 11
+_CNPJ_W12 = np.asarray((5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2), dtype=np.int64)
+_CNPJ_W13 = np.asarray((6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2),
+                       dtype=np.int64)
+
+
+def _cpf_checks(mat: np.ndarray) -> np.ndarray:
+    c1 = (mat[:, :9] @ _CPF_W9) * 10 % 11
+    c1[c1 == 10] = 0
+    c2 = (mat[:, :10] @ _CPF_W10) * 10 % 11
+    c2[c2 == 10] = 0
+    return (c1 == mat[:, 9]) & (c2 == mat[:, 10])
+
+
+def _cnpj_checks(mat: np.ndarray) -> np.ndarray:
+    r1 = (mat[:, :12] @ _CNPJ_W12) % 11
+    c1 = np.where(r1 < 2, 0, 11 - r1)
+    r2 = (mat[:, :13] @ _CNPJ_W13) % 11
+    c2 = np.where(r2 < 2, 0, 11 - r2)
+    return (c1 == mat[:, 12]) & (c2 == mat[:, 13])
+
+
+def _batch_checksum(values, n: int, scalar_fn, check_fn) -> np.ndarray:
+    import pandas as pd  # noqa: PLC0415 — pandas only on the Spark path
+
+    s = pd.Series(values, dtype=object)
+    out = np.zeros(len(s), dtype=bool)
+    if not len(s):
+        return out
+    len_ok = s.str.len().eq(n).fillna(False).to_numpy(bool)
+    if not len_ok.any():
+        return out
+    cand = s[len_ok].tolist()
+    try:
+        # fast path: every length-n candidate is ASCII — one concatenated
+        # byte buffer, digit-ness checked on the matrix itself (no
+        # per-element regex)
+        mat = (np.frombuffer("".join(cand).encode("ascii"), np.uint8)
+               .reshape(-1, n).astype(np.int64) - 48)
+        digit_rows = ((mat >= 0) & (mat <= 9)).all(axis=1)
+    except UnicodeEncodeError:
+        # some candidate holds non-ASCII text. Strings of non-ASCII decimal
+        # digits pass the scalar validators (str.isdigit + int accept
+        # them), so route every non-pure-ASCII-digit candidate through the
+        # scalar function for exact parity; the rest take the matrix path.
+        is_ascii = np.fromiter((v.isascii() and v.isdigit() for v in cand),
+                               dtype=bool, count=len(cand))
+        sub = np.zeros(len(cand), dtype=bool)
+        sub[~is_ascii] = [scalar_fn(v) for v, a in zip(cand, is_ascii)
+                          if not a]
+        if is_ascii.any():
+            mat = (np.frombuffer(
+                "".join(v for v, a in zip(cand, is_ascii) if a)
+                .encode("ascii"), np.uint8)
+                .reshape(-1, n).astype(np.int64) - 48)
+            good = ~(mat == mat[:, :1]).all(axis=1)
+            good &= check_fn(mat)
+            sub[is_ascii] = good
+        out[len_ok] = sub
+        return out
+    good = digit_rows & ~(mat == mat[:, :1]).all(axis=1)  # all-equal rejected
+    ok_rows = np.flatnonzero(good)
+    if ok_rows.size:
+        good[ok_rows] = check_fn(mat[ok_rows])
+    out[len_ok] = good
+    return out
+
+
+def cpf_checksum_ok_batch(values) -> np.ndarray:
+    """Vectorized ``cpf_checksum_ok`` over a sequence/Series of strings."""
+    return _batch_checksum(values, 11, cpf_checksum_ok, _cpf_checks)
+
+
+def cnpj_checksum_ok_batch(values) -> np.ndarray:
+    """Vectorized ``cnpj_checksum_ok`` over a sequence/Series of strings."""
+    return _batch_checksum(values, 14, cnpj_checksum_ok, _cnpj_checks)
+
+
 # --- detector table ---------------------------------------------------------
 # (name, taxonomy type, compiled regex, validator(match_text) -> bool)
 # Patterns avoid lookbehind so an equivalent subset runs in RE2 (DuckDB oracle).

@@ -130,10 +130,13 @@ def checksum_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle re-derives both checksum algebras independently in SQL.
     (Merged from the round-2 ``cpf_checksum`` + ``cnpj_checksum`` entries —
     same evidence, one registry slot; the driver reports at most 50 rows.)"""
-    from pii_core.detectors import cnpj_checksum_ok, cpf_checksum_ok
+    from pii_core.detectors import (
+        cnpj_checksum_ok_batch,
+        cpf_checksum_ok_batch,
+    )
 
-    ok_cpf = checksum_udf(cpf_checksum_ok)
-    ok_cnpj = checksum_udf(cnpj_checksum_ok)
+    ok_cpf = checksum_udf(cpf_checksum_ok_batch)
+    ok_cnpj = checksum_udf(cnpj_checksum_ok_batch)
 
     d = _t(spark, sf_dir, "documents").select(
         "lang",
@@ -173,9 +176,9 @@ def checksum_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def should_be_public(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level decision (reference P2, infer_pii.py:553-569):
     has_pii = valid CPF present OR phone detected; public = NOT has_pii."""
-    from pii_core.detectors import cpf_checksum_ok
+    from pii_core.detectors import cpf_checksum_ok_batch
 
-    ok = checksum_udf(cpf_checksum_ok)
+    ok = checksum_udf(cpf_checksum_ok_batch)
 
     d = _t(spark, sf_dir, "documents").select(
         "lang",
@@ -328,9 +331,9 @@ def company_id_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Company-id migration heuristic (reference P5, spans.py:16-46):
     CNPJ-shaped valid value + company keyword in the 40-char left context →
     relabel DOC_EMPRESA."""
-    from pii_core.detectors import cnpj_checksum_ok
+    from pii_core.detectors import cnpj_checksum_ok_batch
 
-    ok = checksum_udf(cnpj_checksum_ok)
+    ok = checksum_udf(cnpj_checksum_ok_batch)
 
     d = _t(spark, sf_dir, "documents").select(
         F.expr(sf.cnpj_candidate_sql()).alias("cand"),

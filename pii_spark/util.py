@@ -33,13 +33,17 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(table)
 
 
-def checksum_udf(fn):
+def checksum_udf(batch_fn):
     """Vectorized boolean pandas UDF over a string column — the Arrow-batched
-    wrapper for pii_core checksum validators (north rule: checksum validation
-    over Arrow batches, never per-row Python at the DataFrame level)."""
+    wrapper for the pii_core BATCH checksum validators
+    (``cpf_checksum_ok_batch`` / ``cnpj_checksum_ok_batch``), which run the
+    digit-matrix mod-11 algebra in NumPy over the whole batch (north rule:
+    checksum validation over Arrow batches, never per-row — or per-element —
+    Python at the DataFrame level)."""
+    import numpy as np  # noqa: PLC0415
 
     @F.pandas_udf("boolean")
     def ok(s: pd.Series) -> pd.Series:
-        return s.map(fn)
+        return pd.Series(np.asarray(batch_fn(s), dtype=bool), index=s.index)
 
     return ok

@@ -73,3 +73,46 @@ def test_count_matches():
 
 def test_empty_text():
     assert detect_spans("") == []
+
+
+def test_batch_checksums_match_scalar_exactly():
+    """The NumPy digit-matrix validators must agree elementwise with the
+    scalar mod-11 functions on every input class: valid, check-digit-off,
+    all-equal, wrong length, formatted (non-digit chars), empty, None,
+    and non-ASCII decimal digits (which str.isdigit/int accept)."""
+    import numpy as np
+
+    from pii_core.detectors import (
+        cnpj_checksum_ok,
+        cnpj_checksum_ok_batch,
+        cpf_checksum_ok,
+        cpf_checksum_ok_batch,
+    )
+
+    def variants(valid):
+        out = [valid, valid[:-1] + str((int(valid[-1]) + 1) % 10)]
+        out += ["1" * len(valid), valid[:-1], valid + "0", "", "abc",
+                valid[:-1] + "x"]
+        # arabic-indic digits: scalar accepts them, batch must agree
+        trans = str.maketrans("0123456789", "٠١٢٣٤٥٦٧٨٩")
+        out.append(valid.translate(trans))
+        return out
+
+    cpfs = variants("52998224725") + ["52998224725 ", " 52998224725"]
+    want = [cpf_checksum_ok(v) for v in cpfs]
+    assert cpf_checksum_ok_batch(cpfs).tolist() == want
+    assert want[0] is True and want[-3] is True  # the unicode variant passes
+
+    cnpjs = variants("11222333000181")
+    want = [cnpj_checksum_ok(v) for v in cnpjs]
+    assert cnpj_checksum_ok_batch(cnpjs).tolist() == want
+
+    # bulk random parity + empty batch
+    rng = np.random.default_rng(5)
+    bulk = ["".join(map(str, rng.integers(0, 10, 11))) for _ in range(500)]
+    assert cpf_checksum_ok_batch(bulk).tolist() == [
+        cpf_checksum_ok(v) for v in bulk]
+    bulk14 = ["".join(map(str, rng.integers(0, 10, 14))) for _ in range(500)]
+    assert cnpj_checksum_ok_batch(bulk14).tolist() == [
+        cnpj_checksum_ok(v) for v in bulk14]
+    assert cpf_checksum_ok_batch([]).tolist() == []
