@@ -141,6 +141,33 @@ def main() -> int:
         queries[name] = round(statistics.median(times), 3)
 
     total = round(sum(queries.values()), 3)
+
+    # Every headline invocation appends to a history ledger (the --scaling
+    # pattern): round-over-round comparisons are then medians-of-history by
+    # construction, a methodology change re-baselines visibly via the
+    # method tag, and the printed line carries the across-invocation
+    # medians so the flagship number is reproducible from ONE file.
+    # bump on any timing-methodology change OR a material implementation
+    # change to a headline query (comparing across either would re-baseline
+    # the series silently). v2: token_stats gained the real-WordTokenizer
+    # UDF columns merged from the retired token_offsets slot.
+    method = "median3-v2"
+    os.makedirs("BENCH", exist_ok=True)
+    rec = {
+        "ts": time.time(), "sf": sf, "cpus": cpus, "method": method,
+        "queries": queries, "value": total,
+        "docs_per_sec": round(ext["docs_per_sec"], 1),
+        "mb_per_sec": round(ext["mb_per_sec"], 2),
+    }
+    with open("BENCH/headline_runs.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    hist = [h for h in map(json.loads, open("BENCH/headline_runs.jsonl"))
+            if (h["sf"], h["cpus"], h["method"]) == (sf, cpus, method)
+            and set(h["queries"]) == set(queries)]
+    med_queries = {
+        q: round(statistics.median(h["queries"][q] for h in hist), 3)
+        for q in queries}
+
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": total,
@@ -152,6 +179,11 @@ def main() -> int:
         "extract_docs": ext["docs"],
         "extract_spans": ext["spans"],
         "cpus": cpus,
+        "invocations": len(hist),
+        "median_queries": med_queries,
+        "median_value": round(sum(med_queries.values()), 3),
+        "median_docs_per_sec": round(statistics.median(
+            h["docs_per_sec"] for h in hist), 1),
     }))
     spark.stop()
     return 0

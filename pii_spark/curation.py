@@ -28,12 +28,17 @@ underlying operator (hashes and ids move, text moves only doc-locally);
 see each operator's own docstring for its 100 TB story.
 
 NOT fully lazy when near-dedup is on: the connected-components loop runs
-a driver action per round, so ``curate`` transiently persists the live
-corpus and the verified pairs for the loop's duration (released before
-returning; persist keeps lineage, so executor loss recomputes instead of
-breaking the frame). With ``near_dup_jaccard_pm=None`` the returned plan
-is fully lazy. Cache the returned frame if you will run several actions
-over it.
+a driver action per round, so ``curate`` transiently persists three
+frames for the loop's duration — the skinny (id, fp) exact-dedup frame
+(~0.13x the text footprint, measured), the (id, text) near-dedup
+survivors (the verify stage reads the text four times; caching the
+exploded shingles instead would pin 3.4x the text), and the verified
+pairs — all released before returning (persist keeps lineage, so
+executor loss recomputes instead of breaking the frame; the small
+id-only loser frames are localCheckpointed so the returned stitch
+re-runs the upstream once, not twice). With
+``near_dup_jaccard_pm=None`` the returned plan is fully lazy. Cache the
+returned frame if you will run several actions over it.
 """
 
 from __future__ import annotations
@@ -138,33 +143,50 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
     live = tagged.where(F.col("drop_reason").isNull()).select(id_col, "text")
 
     # --- stage 3: exact dedup among quality survivors -------------------
+    eager = cfg.near_dup_jaccard_pm is not None
+    if eager:
+        from pyspark import StorageLevel  # noqa: PLC0415
+    fp_frame = None
     if cfg.exact_dedup:
         fp = normalized_fp("text")  # the SHARED fingerprint (see dedup.py)
-        keeper = (
-            live.select(F.col(id_col), fp.alias("fp"))
-            .groupBy("fp").agg(F.min(id_col).alias("keep_id"))
-        )
-        exact_losers = live.select(F.col(id_col), fp.alias("fp")).join(
+        fp_frame = live.select(F.col(id_col), fp.alias("fp"))
+        if eager:
+            # SKINNY persist: (id, 32-byte fp) caches at ~0.13x the text
+            # frame's footprint (measured on the sf0.01 corpus: 0.019 MB vs
+            # 0.15 MB for (id, text); exploded shingles would pin 3.4x the
+            # text — the WRONG frame to cache), yet still stops the keeper
+            # groupBy and the loser join from re-running line-dedup + gates
+            fp_frame = fp_frame.persist(StorageLevel.MEMORY_AND_DISK)
+        keeper = fp_frame.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
+        exact_losers = fp_frame.join(
             keeper, "fp").where(F.col(id_col) != F.col("keep_id")) \
             .select(id_col)
+        if eager:
+            # small id-only frame, made self-contained so the RETURNED
+            # stitch re-executes the upstream once (for tagged), not twice
+            # (same localCheckpoint contract as connected_components'
+            # result: block loss on a checkpointed frame is not recoverable
+            # by lineage — acceptable for id-frames, rejected for corpora)
+            exact_losers = exact_losers.localCheckpoint(eager=True)
     else:
         exact_losers = live.limit(0).select(id_col)
     live2 = live.join(exact_losers, id_col, "left_anti")
 
     # --- stage 4: near dedup among the remainder ------------------------
-    if cfg.near_dup_jaccard_pm is not None:
+    if eager:
         # The connected-components loop runs a driver action per round, so
         # its inputs must not re-execute the upstream DAG every round:
         # PERSIST (not localCheckpoint — persist keeps lineage, so losing
         # an executor's blocks recomputes instead of permanently breaking
-        # the frame) live2 once and the verified pairs once. Both caches
-        # are released before returning: CC's result is internally
-        # localCheckpointed (self-contained), and the returned frame only
-        # references tagged/exact_losers/near_losers. This stage is the
-        # ONLY eager path in curate(); with near-dedup off the plan stays
-        # fully lazy.
-        from pyspark import StorageLevel  # noqa: PLC0415
-
+        # the frame) live2 once and the verified pairs once. live2 pins
+        # (id, text) — the TEXT is required here, the shingle verify reads
+        # it four times (cand/card/a/b sides) — and is the floor for this
+        # stage: id+text caches ~22x smaller than the exploded shingle
+        # frame would (measured above). All caches are released before
+        # returning: CC's result is internally localCheckpointed
+        # (self-contained), and the returned frame only references
+        # tagged/exact_losers/near_losers. This stage is the ONLY eager
+        # path in curate(); with near-dedup off the plan stays fully lazy.
         live2_p = live2.persist(StorageLevel.MEMORY_AND_DISK)
         sh = _shingles(live2_p.select(F.col(id_col).alias("doc_id"), "text"))
         pairs = (
@@ -181,6 +203,8 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
         finally:
             pairs.unpersist()
             live2_p.unpersist()
+            if fp_frame is not None:
+                fp_frame.unpersist()
     else:
         near_losers = live2.limit(0).select(id_col)
 

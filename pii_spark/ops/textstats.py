@@ -6,6 +6,7 @@ oracle compare is float-noise-free."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -108,28 +109,55 @@ def register_queries(register) -> None:
             .orderBy("source", "bucket")
         )
 
+    # the WordTokenizer piece regex, written in the Java∩RE2 common subset
+    tok_pat_sql = r"[A-Za-z0-9_'\-]{1,8}|[^\sA-Za-z0-9_'\-]".replace(
+        "'", "''")  # SQL string-literal escaping
+
     @register(
         "token_stats",
-        oracle=r"""
+        oracle=f"""
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_ws_tokens,
                CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_word_tokens,
-               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(len(regexp_extract_all(text, '{tok_pat_sql}'))) AS BIGINT) AS n_real_tokens,
+               CAST(MAX(len(regexp_extract_all(text, '{tok_pat_sql}'))) AS BIGINT) AS max_real_tokens
         FROM documents GROUP BY source ORDER BY source
         """,
     )
     def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Token counting two ways — whitespace split and a BPE-ish regex
-        tokenizer — plus char totals, per source."""
+        """Token counting three ways — whitespace split, a BPE-ish regex,
+        and the REAL pii_core WordTokenizer (vectorized pandas UDF, the same
+        code the chunker and NER stage run on executors) — plus char
+        totals, per source. The real-tokenizer columns cross-validate the
+        offset tokenizer against an equivalent RE2 pattern in the oracle
+        (ASCII corpus makes the \\w-dialect difference moot); merged from
+        the former ``token_offsets`` slot to free a registry slot for
+        ``curation_dag``."""
+        from pii_core.tokenizer import WordTokenizer  # noqa: PLC0415
+
+        @F.pandas_udf("long")
+        def ntok(s: pd.Series) -> pd.Series:
+            tok = WordTokenizer()  # once per batch-iterator worker
+            # list comprehension over the raw ndarray (extract.py idiom) —
+            # no per-element pandas dispatch in the hot loop
+            return pd.Series(
+                [len(tok.encode(t or "")) for t in s.to_numpy()],
+                dtype="int64")
+
         d = _t(spark, sf_dir, "documents")
         ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
         words = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0)))
         return (
-            d.groupBy("source").agg(
+            d.select("source", "text", ws.alias("ws"), words.alias("words"),
+                     ntok("text").alias("n_real"))
+            .groupBy("source").agg(
                 F.count("*").alias("n_docs"),
-                F.sum(ws).alias("n_ws_tokens"),
-                F.sum(words).alias("n_word_tokens"),
+                F.sum("ws").alias("n_ws_tokens"),
+                F.sum("words").alias("n_word_tokens"),
                 F.sum(F.length("text")).alias("n_chars"),
+                F.sum("n_real").alias("n_real_tokens"),
+                F.max("n_real").alias("max_real_tokens"),
             ).orderBy("source")
         )
 

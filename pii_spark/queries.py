@@ -1076,44 +1076,8 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 # Tokenizer / chunker surface (SURVEY §2.7)
 # =========================================================================
-
-# the WordTokenizer piece regex, written in the Java∩RE2 common subset
-_TOK_PAT = r"[A-Za-z0-9_'\-]{1,8}|[^\sA-Za-z0-9_'\-]"
-_TOK_PAT_SQL = _TOK_PAT.replace("'", "''")  # SQL string-literal escaping
-
-
-@register(
-    "token_offsets",
-    oracle=f"""
-    SELECT source,
-           CAST(SUM(len(regexp_extract_all(text, '{_TOK_PAT_SQL}'))) AS BIGINT) AS n_tokens,
-           CAST(MAX(len(regexp_extract_all(text, '{_TOK_PAT_SQL}'))) AS BIGINT) AS max_tokens
-    FROM documents GROUP BY source ORDER BY source
-    """,
-)
-def token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offset-tokenizer cross-validation: Spark counts tokens with the REAL
-    pii_core WordTokenizer (vectorized pandas UDF — the same code the
-    chunker and NER stage use on executors); the oracle re-derives the count
-    with an equivalent RE2 pattern. ASCII corpus makes the \\w-dialect
-    difference moot."""
-    from pii_core.tokenizer import WordTokenizer
-
-    @F.pandas_udf("long")
-    def ntok(s: pd.Series) -> pd.Series:
-        tok = WordTokenizer()  # once per batch-iterator worker
-        # list comprehension over the raw ndarray (extract.py idiom) — no
-        # per-element pandas dispatch in the hot loop
-        return pd.Series([len(tok.encode(t or "")) for t in s.to_numpy()],
-                         dtype="int64")
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("source", ntok("text").alias("n"))
-        .groupBy("source")
-        .agg(F.sum("n").alias("n_tokens"), F.max("n").alias("max_tokens"))
-        .orderBy("source")
-    )
+# (token_offsets' real-WordTokenizer-vs-RE2 cross-validation lives in
+# token_stats now — ops/textstats.py — freeing this slot for curation_dag.)
 
 
 @register("chunk_stats")  # rows-only: chunk boundaries are chunker-defined
@@ -1213,6 +1177,213 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .orderBy("lang")
     )
+
+
+def _curation_dag_oracle() -> str:
+    """DuckDB re-derivation of the FULL curate() DAG — all four stages:
+    line-level boilerplate dedup → Gopher gates → exact dedup → LSH+Jaccard
+    near-dedup with recursive-CTE connected components. Composed from the
+    per-operator oracle fragments (line_dedup test oracle, ngram stats,
+    dedup_lsh_jaccard / dedup_clusters oracles)."""
+    from pii_spark.ops.dedup import _BAND, _N_PERM  # noqa: PLC0415
+
+    minhash = ", ".join(
+        f"MIN(md5(CAST({p} AS STRING) || '|' || sh)) AS h{p}"
+        for p in range(_N_PERM))
+    band_keys = ", ".join(
+        f"md5(h{b * _BAND} || h{b * _BAND + 1}) AS b{b}"
+        for b in range(_N_PERM // _BAND))
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bk FROM sigs"
+        for b in range(_N_PERM // _BAND))
+    corpus = _CURATION_CORPUS_SQL
+    return rf"""
+    WITH RECURSIVE corpus AS ({corpus}),
+    split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+    lines AS (SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) AS line_no FROM split),
+    trimd AS (SELECT doc_id, line_no, line,
+                     regexp_replace(line, '^\s+|\s+$', '', 'g') AS t
+              FROM lines),
+    hot AS (SELECT t FROM trimd WHERE t <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) > 5),
+    kept AS (SELECT doc_id, line_no, line, t FROM trimd
+             WHERE t NOT IN (SELECT t FROM hot)),
+    lded AS (
+      SELECT c.doc_id,
+             coalesce(string_agg(k.line, chr(10) ORDER BY k.line_no), '')
+               AS text
+      FROM corpus c LEFT JOIN kept k USING (doc_id) GROUP BY c.doc_id),
+    tok AS (SELECT doc_id, text, tk, len(tk) AS n_tok,
+                   list_aggregate(list_transform(tk, t -> len(t)), 'sum')
+                     AS tc
+            FROM (SELECT doc_id, text,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                                     t -> t <> '') AS tk
+                  FROM lded) x),
+    pl AS (SELECT doc_id, t, count(*) AS c FROM kept WHERE t <> ''
+           GROUP BY doc_id, t),
+    dlp AS (SELECT doc_id,
+                   CAST(floor(SUM(c - 1) * 1000.0 / SUM(c)) AS BIGINT)
+                     AS dup_line_pm
+            FROM pl GROUP BY doc_id),
+    g2 AS (SELECT doc_id, tc, unnest(list_transform(
+             generate_series(1, greatest(len(tk) - 1, 0)),
+             i -> tk[i] || ' ' || tk[i+1])) AS g FROM tok),
+    c2 AS (SELECT doc_id, tc, g, count(*) AS c FROM g2
+           GROUP BY doc_id, tc, g),
+    t2 AS (SELECT doc_id,
+                  least(1000, CAST(floor(c * (len(g) - 1) * 1000.0 / tc)
+                                   AS BIGINT)) AS top2
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY c DESC, len(g) - 1 DESC, g DESC) AS rn
+                 FROM c2) r WHERE rn = 1),
+    g5 AS (SELECT doc_id, tc, unnest(list_transform(
+             generate_series(1, greatest(len(tk) - 4, 0)),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                  || tk[i+3] || ' ' || tk[i+4])) AS g FROM tok),
+    c5 AS (SELECT doc_id, tc, g, count(*) AS c FROM g5
+           GROUP BY doc_id, tc, g),
+    d5 AS (SELECT doc_id,
+                  least(1000, CAST(floor(coalesce(
+                    SUM(CASE WHEN c >= 2 THEN c * (len(g) - 4) END), 0)
+                    * 1000.0 / tc) AS BIGINT)) AS dup5
+           FROM c5 GROUP BY doc_id, tc),
+    gated AS (
+      SELECT t.doc_id, t.text,
+             CASE WHEN t.n_tok < 30 THEN 'too_short'
+                  WHEN coalesce(dlp.dup_line_pm, 0) > 300
+                       OR coalesce(t2.top2, 0) > 200
+                       OR coalesce(d5.dup5, 0) > 300 THEN 'repetitive'
+             END AS reason
+      FROM tok t LEFT JOIN dlp USING (doc_id)
+      LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)),
+    live AS (SELECT doc_id, text FROM gated WHERE reason IS NULL),
+    lfp AS (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     AS fp
+            FROM live),
+    ek AS (SELECT fp, MIN(doc_id) AS keep_id FROM lfp GROUP BY fp),
+    el AS (SELECT doc_id FROM lfp JOIN ek USING (fp)
+           WHERE doc_id <> keep_id),
+    live2 AS (SELECT doc_id, text FROM live
+              WHERE doc_id NOT IN (SELECT doc_id FROM el)),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+           FROM (SELECT doc_id,
+                        list_filter(string_split(text, ' '), t -> t <> '')
+                          AS toks
+                 FROM live2) s),
+    sig0 AS (SELECT doc_id, {minhash} FROM sh GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {band_keys} FROM sig0),
+    bands AS ({bands_union}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+    card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+              GROUP BY c.id_a, c.id_b),
+    dup AS (SELECT id_a, id_b FROM inter
+            JOIN card ca ON ca.doc_id = id_a
+            JOIN card cb ON cb.doc_id = id_b
+            WHERE i * 1000.0 / (ca.n + cb.n - i) >= 500),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+              UNION ALL SELECT id_b, id_a FROM dup),
+    verts AS (SELECT doc_id AS id FROM live2),
+    comp(id, root) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.dst, c.root FROM comp c JOIN edges e ON e.src = c.id),
+    nl AS (SELECT id AS doc_id FROM
+             (SELECT id, MIN(root) AS rep FROM comp GROUP BY id) a
+           WHERE rep <> id)
+    SELECT g.doc_id,
+           CAST(length(g.text) AS BIGINT) AS text_len,
+           CASE WHEN g.reason IS NOT NULL THEN g.reason
+                WHEN g.doc_id IN (SELECT doc_id FROM el) THEN 'exact_dup'
+                WHEN g.doc_id IN (SELECT doc_id FROM nl) THEN 'near_dup'
+           END AS drop_reason
+    FROM gated g ORDER BY g.doc_id
+    """
+
+
+# The curation corpus: base docs wrapped in shared boilerplate lines (fires
+# line dedup), exact copies (fires stage 3), per-doc-suffixed near copies
+# (fires stage 4 — the suffix line is UNIQUE per doc so line dedup cannot
+# collapse it back to an exact copy), plus short and repetitive rows for the
+# quality gates. Pure SQL, identical text on both engines.
+_BOILER = ("'Menu Inicio Contato Sobre' || chr(10) || text || chr(10) || "
+           "'Copyright 2026 Todos os direitos reservados'")
+_CURATION_CORPUS_SQL = f"""
+      SELECT doc_id, {_BOILER} AS text
+      FROM documents WHERE doc_id < 250
+      UNION ALL
+      SELECT doc_id + 1000000, {_BOILER}
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 2000000,
+             {_BOILER} || ' um sufixo extra anexado numero '
+               || CAST(doc_id AS STRING)
+      FROM documents WHERE doc_id < 250 AND doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, 'poucas palavras aqui'
+      FROM documents WHERE doc_id < 3
+      UNION ALL
+      SELECT doc_id + 4000000, repeat('spam ham ', 60)
+      FROM documents WHERE doc_id < 3
+"""
+
+
+@register("curation_dag", oracle=_curation_dag_oracle())
+def curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION curation entry point (`pii_spark.curation.curate`)
+    end-to-end with ALL FOUR stages enabled: line-level boilerplate dedup →
+    token-count + Gopher repetition gates → normalized-fingerprint exact
+    dedup → MinHash-LSH + exact-Jaccard near-dedup with
+    connected-components representatives. Returns every corpus doc with
+    its curated text length (pins stage 1 byte-for-byte) and first-drop
+    reason; the oracle recomputes the whole DAG independently in DuckDB,
+    connected components via a recursive CTE. Complements the simpler
+    ``curation_pipeline`` composition (which stays as the lazy-plan
+    evidence)."""
+    from pii_spark.curation import CurationConfig, curate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = F.expr(_BOILER)
+    corpus = (
+        d.where("doc_id < 250").select("doc_id", boiler.alias("text"))
+        .unionByName(
+            d.where("doc_id < 40").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                boiler.alias("text")))
+        .unionByName(
+            d.where("doc_id < 250 AND doc_id % 25 = 0").select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(boiler,
+                         F.lit(" um sufixo extra anexado numero "),
+                         F.col("doc_id").cast("string")).alias("text")))
+        .unionByName(
+            d.where("doc_id < 3").select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.lit("poucas palavras aqui").alias("text")))
+        .unionByName(
+            d.where("doc_id < 3").select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.expr("repeat('spam ham ', 60)").alias("text")))
+    )
+    out = curate(corpus, CurationConfig(
+        min_tokens=30, max_dup_line_pm=300, max_top_2gram_char_pm=200,
+        max_dup_5gram_char_pm=300, line_dedup_max_doc_freq=5,
+        exact_dedup=True, near_dup_jaccard_pm=500))
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        "drop_reason",
+    ).orderBy("doc_id")
 
 
 # =========================================================================
