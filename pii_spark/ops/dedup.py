@@ -97,15 +97,18 @@ _SHINGLES_SQL = """
 """
 
 
-def _lsh_candidates(sh: DataFrame) -> DataFrame:
-    """Distinct LSH candidate pairs (id_a < id_b) from a (doc_id, sh) frame:
-    8 string-minhashes (min over md5(perm|shingle)) → 4 bands of 2 →
-    self-join on band key. Shuffles only (band_key, doc_id)."""
+def _band_keys(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bk) LSH band keys from a (doc_id, sh) shingle frame:
+    8 string-minhashes (min over md5(perm|shingle)) → 4 bands of 2. The
+    shared banding step behind same-batch candidate generation
+    (``_lsh_candidates``) and the persisted cross-crawl band index
+    (``build_band_index``) — near-dup recall across crawls depends on both
+    sides banding identically, so there is exactly one definition."""
     sig = sh.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("sh")))).alias(f"h{p}")
         for p in range(_N_PERM)
     ])
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
@@ -116,6 +119,13 @@ def _lsh_candidates(sh: DataFrame) -> DataFrame:
             for b in range(_N_PERM // _BAND)
         ])).alias("x"),
     ).select("doc_id", "x.band", "x.bk")
+
+
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs (id_a < id_b) from a (doc_id, sh) frame:
+    band keys (``_band_keys``) → self-join on band key. Shuffles only
+    (band_key, doc_id)."""
+    bands = _band_keys(sh)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -583,7 +593,8 @@ def dedup_against_corpus(
     fingerprints — never text — and the committed side is read
     column-pruned. Within the new batch itself, exact self-dedup
     (``dedup_exact`` / ``curation.curate``) still applies — this operator
-    only subtracts what history already holds."""
+    only subtracts what history already holds. Exact-content only:
+    recrawls with minor edits need ``near_dedup_against_corpus``."""
     fp = normalized_fp(text_col)
     seen = committed.select(fp.alias("__fp")).distinct()
     return (
@@ -591,3 +602,95 @@ def dedup_against_corpus(
         .join(seen, "__fp", "left_anti")
         .drop("__fp")
     )
+
+
+def build_band_index(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, band, bk) LSH band index for a committed corpus — the
+    persisted artifact that makes cross-crawl NEAR-dedup incremental.
+
+    Persist it once per corpus commit with
+    ``util.write_bucketed_table(idx, table, "bk", n_buckets)``: the
+    committed side of every future incremental run is then a pre-banded,
+    pre-bucketed scan of three skinny columns — the corpus text is never
+    re-shingled or re-hashed, and the new-batch-vs-index join needs no
+    Exchange on the committed side (bucket id IS the partition). Append
+    each new increment's own bands after it commits, so the index tracks
+    the corpus. Four rows of ~70 bytes per document regardless of document
+    size — at 10^12 docs the index is ~0.3% of a 100 TB corpus."""
+    sh = _shingles(docs.select(F.col(id_col).alias("doc_id"),
+                               F.col(text_col).alias("text")))
+    return _band_keys(sh)
+
+
+def near_dedup_against_corpus(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    committed: DataFrame,
+    *,
+    jaccard_pm: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-crawl incremental NEAR-dedup: drop new documents whose 3-gram
+    Jaccard against some already-committed document is >=
+    ``jaccard_pm``/1000. The common recrawl case ``dedup_against_corpus``
+    misses — a page refetched with a rotated timestamp, an extra nav item,
+    a tweaked sentence — lands here.
+
+    Same composition as ``dedup_lsh_jaccard`` (LSH candidates → exact
+    Jaccard on candidates only), applied new-vs-committed with the
+    committed side INCREMENTAL:
+
+    * only the NEW batch is shingled and banded; the committed side is
+      ``band_index`` (``build_band_index`` output, ideally bucketed on
+      ``bk`` via ``util.write_bucketed_table`` for a zero-Exchange join —
+      plan-gated in tests).
+    * candidate generation is the (band, bk) equi-join — never all-pairs.
+    * exact-Jaccard verification shingles committed TEXT only for docs
+      that appear as candidates (a semi-join keyed by candidate ids prunes
+      the committed scan), so verification cost is
+      O(candidates × shingles-per-doc) regardless of corpus size.
+
+    ``committed`` needs (id_col, text_col) for those candidate lookups.
+    Returns ``new_docs`` minus the near-duplicates; column set unchanged.
+    New-batch-internal near-dups are deliberately NOT touched here — run
+    ``curation.curate`` (or ``dedup_lsh_jaccard``) within the batch."""
+    if not 0 <= jaccard_pm <= 1000:
+        raise ValueError(f"jaccard_pm must be in [0, 1000]: {jaccard_pm}")
+    new_sh = _shingles(new_docs.select(F.col(id_col).alias("doc_id"),
+                                       F.col(text_col).alias("text")))
+    cand = (
+        _band_keys(new_sh).alias("n")
+        .join(band_index.alias("c"),
+              (F.col("n.band") == F.col("c.band"))
+              & (F.col("n.bk") == F.col("c.bk")))
+        .select(F.col("n.doc_id").alias("new_id"),
+                F.col("c.doc_id").alias("com_id"))
+        .distinct()
+    )
+    com_sh = _shingles(
+        committed.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text"))
+        .join(cand.select(F.col("com_id").alias("doc_id")).distinct(),
+              "doc_id", "left_semi")
+    )
+    card_new = new_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
+    card_com = com_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    inter = (
+        cand.join(new_sh.select(F.col("doc_id").alias("new_id"), "sh"),
+                  "new_id")
+        .join(com_sh.select(F.col("doc_id").alias("com_id"), "sh"),
+              ["com_id", "sh"])
+        .groupBy("new_id", "com_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    losers = (
+        inter.join(card_new.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(card_com.withColumnRenamed("doc_id", "com_id"), "com_id")
+        .where(jac >= jaccard_pm)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(losers, id_col, "left_anti")

@@ -501,3 +501,111 @@ def test_dedup_against_corpus_cross_crawl(spark):
     allkept = dedup_against_corpus(new, committed.limit(0))
     assert sorted(allkept.columns) == ["doc_id", "text"]
     assert allkept.count() == 4
+
+
+def _fresh_table(spark, name):
+    """saveAsTable target: drop any catalog entry AND stale warehouse dir
+    (a previously crashed test leaves the dir without the entry)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+
+
+def test_near_dedup_against_corpus_edited_recrawls(spark, tmp_path):
+    """Cross-crawl incremental NEAR-dedup: a recrawl with minor edits (the
+    case dedup_against_corpus's exact fingerprint misses) must drop; a
+    genuinely new page must survive; the committed side must come from the
+    persisted band index, not a corpus-wide re-banding."""
+    from pii_spark.ops.dedup import (
+        build_band_index,
+        dedup_against_corpus,
+        near_dedup_against_corpus,
+    )
+    from pii_spark.util import write_bucketed_table
+
+    base = ("O relatorio anual da empresa apresenta os resultados do "
+            "exercicio com detalhes sobre receita liquida despesas "
+            "operacionais e projecoes para os proximos trimestres em "
+            "cada segmento de atuacao da companhia no mercado nacional")
+    committed = spark.createDataFrame(
+        [(i, f"{base} edicao {i}") for i in range(20)],
+        "doc_id long, text string")
+
+    # persist the committed index BUCKETED on bk (the incremental layout)
+    idx = build_band_index(committed)
+    _fresh_table(spark, "band_idx_t")
+    write_bucketed_table(idx, "band_idx_t", "bk", 8)
+    stored = spark.table("band_idx_t")
+
+    new = spark.createDataFrame(
+        [
+            # edited recrawl of doc 3: one phrase appended — exact fp differs
+            (103, f"{base} edicao 3 com uma frase nova no final"),
+            # byte-identical recrawl of doc 7
+            (107, f"{base} edicao 7"),
+            # genuinely new content
+            (200, ("Receita de bolo de cenoura com cobertura de chocolate "
+                   "misture os ingredientes asse por quarenta minutos e "
+                   "sirva gelado com cafe fresco passado na hora em casa")),
+        ],
+        "doc_id long, text string")
+
+    kept = near_dedup_against_corpus(new, stored, committed)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [200]  # both recrawls dropped, new content survives
+
+    # the exact-fp operator misses the edited recrawl — the gap this fills
+    exact_kept = sorted(
+        r["doc_id"] for r in dedup_against_corpus(new, committed).collect())
+    assert exact_kept == [103, 200]
+
+    # threshold semantics: an impossibly strict threshold keeps everything
+    # that is not shingle-identical
+    strict = near_dedup_against_corpus(new, stored, committed,
+                                       jaccard_pm=1000)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [103, 200]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="jaccard_pm"):
+        near_dedup_against_corpus(new, stored, committed, jaccard_pm=1001)
+
+    # --- plan gates -----------------------------------------------------
+    plan = near_dedup_against_corpus(new, stored, committed) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # committed text is only shingled behind the candidate semi-join
+    assert "LeftSemi" in plan
+    # the committed side of the candidate join is the stored parquet index:
+    # no md5/minhash recomputation can appear over its scan because the
+    # scan yields only (doc_id, band, bk) — assert the pruned read schema
+    assert "band_idx_t" in plan and "ReadSchema" in plan
+
+
+def test_near_dedup_band_index_join_no_exchange(spark):
+    """With both the band index and the new batch's bands bucketed on bk,
+    the candidate join runs with zero Exchange on the stored side — the
+    100-TB incremental property (same gate idiom as
+    test_bucketed_join_no_exchange)."""
+    from pii_spark.ops.dedup import _band_keys, _shingles, build_band_index
+    from pii_spark.util import write_bucketed_table
+
+    docs = spark.createDataFrame(
+        [(i, "palavra" + " conteudo unico".join(str(j) for j in range(i, i + 9)))
+         for i in range(12)],
+        "doc_id long, text string")
+    _fresh_table(spark, "band_idx_x")
+    write_bucketed_table(build_band_index(docs), "band_idx_x", "bk", 8)
+    stored = spark.table("band_idx_x")
+
+    from pyspark.sql import functions as F
+
+    new_bands = _band_keys(_shingles(docs.limit(3)))
+    joined = new_bands.alias("n").join(
+        stored.alias("c"),
+        (F.col("n.band") == F.col("c.band")) & (F.col("n.bk") == F.col("c.bk")))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the stored side must feed the join without an Exchange: count the
+    # Exchanges and require at most the new-batch side's one
+    import re as _re
+    n_exchanges = len(_re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges <= 1, plan
