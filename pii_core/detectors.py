@@ -26,8 +26,14 @@ from pii_core.spans import Span
 
 
 def cpf_checksum_ok(digits: str) -> bool:
-    """Validate an 11-digit CPF string (digits only)."""
-    if len(digits) != 11 or not digits.isdigit() or len(set(digits)) == 1:
+    """Validate an 11-digit CPF string (digits only).
+
+    Gates on ``str.isdecimal`` (not ``isdigit``): characters like the
+    superscript '2' are isdigit-True but ``int()`` rejects them — an
+    isdigit gate would crash the whole Arrow batch on one such token
+    instead of returning False."""
+    if (len(digits) != 11 or not digits.isdecimal()
+            or len(set(digits)) == 1):
         return False
     nums = [int(c) for c in digits]
     for pos in (9, 10):
@@ -42,7 +48,8 @@ def cpf_checksum_ok(digits: str) -> bool:
 
 def cnpj_checksum_ok(digits: str) -> bool:
     """Validate a 14-digit CNPJ string (digits only)."""
-    if len(digits) != 14 or not digits.isdigit() or len(set(digits)) == 1:
+    if (len(digits) != 14 or not digits.isdecimal()
+            or len(set(digits)) == 1):
         return False
     nums = [int(c) for c in digits]
     for pos, weights in ((12, (5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)),
@@ -63,9 +70,10 @@ def _digits(s: str) -> str:
 # NumPy digit-matrix forms of the validators above for the Spark engine's
 # Arrow batches: candidates concatenate into one byte buffer, reshape to a
 # (N, n) digit matrix, and each check digit is one matvec + mod — no
-# per-element Python call in the hot path. Unicode-digit strings (which the
-# scalar validators accept via str.isdigit/int) are rare and routed through
-# the scalar function, so the batch forms are elementwise-identical.
+# per-element Python call in the hot path. Non-ASCII decimal-digit strings
+# (which the scalar validators accept via str.isdecimal/int) are rare and
+# routed through the scalar function, so the batch forms are
+# elementwise-identical.
 
 import numpy as np  # noqa: E402  (used only by the batch validators)
 
@@ -112,10 +120,10 @@ def _batch_checksum(values, n: int, scalar_fn, check_fn) -> np.ndarray:
         digit_rows = ((mat >= 0) & (mat <= 9)).all(axis=1)
     except UnicodeEncodeError:
         # some candidate holds non-ASCII text. Strings of non-ASCII decimal
-        # digits pass the scalar validators (str.isdigit + int accept
+        # digits pass the scalar validators (str.isdecimal + int accept
         # them), so route every non-pure-ASCII-digit candidate through the
         # scalar function for exact parity; the rest take the matrix path.
-        is_ascii = np.fromiter((v.isascii() and v.isdigit() for v in cand),
+        is_ascii = np.fromiter((v.isascii() and v.isdecimal() for v in cand),
                                dtype=bool, count=len(cand))
         sub = np.zeros(len(cand), dtype=bool)
         sub[~is_ascii] = [scalar_fn(v) for v, a in zip(cand, is_ascii)

@@ -478,12 +478,15 @@ def extract_page_batch(
     emitted, aggregated, and finalized in ONE interleaved pass — a forward
     group fires as soon as ``batch_size`` chunks are pending; a document's
     chunks collapse to its (keys, mean-logit matrix) the moment its last
-    chunk is through; label decode runs in cross-document groups of
-    ``_DECODE_BATCH_DOCS`` (bit-identical batched Viterbi). Peak extra
-    memory is O(batch_size × chunk + _DECODE_BATCH_DOCS token matrices),
-    NOT O(Arrow batch): on a heavy-tailed web corpus an up-front phase
-    split would buffer every chunk text and per-token offset tuple for all
-    ~1024 batched docs.
+    chunk is through; label decode runs in cross-document groups (a
+    ``_DECODE_WINDOW_DOCS`` ready window, sorted longest-first, cut into
+    ``_DECODE_BATCH_DOCS`` packed sub-batches — bit-identical batched
+    Viterbi). Peak extra memory is O(batch_size × chunk +
+    _DECODE_WINDOW_DOCS documents' (keys, matrix, text) tuples) — the
+    WINDOW, not the sub-batch, is the buffering bound; the cell budget
+    caps only the packed float64 copy. Still far below O(Arrow batch):
+    an up-front phase split would buffer every chunk text and per-token
+    offset tuple for all ~1024 batched docs.
 
     Byte-identity: group boundaries are consecutive ``batch_size`` slices
     of the global chunk stream (independent of where document boundaries

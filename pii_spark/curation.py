@@ -142,71 +142,84 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
     tagged = sig.select(id_col, "text", reason.alias("drop_reason"))
     live = tagged.where(F.col("drop_reason").isNull()).select(id_col, "text")
 
-    # --- stage 3: exact dedup among quality survivors -------------------
+    # --- stages 3+4: exact then near dedup among quality survivors -------
     eager = cfg.near_dup_jaccard_pm is not None
     if eager:
         from pyspark import StorageLevel  # noqa: PLC0415
-    fp_frame = None
-    if cfg.exact_dedup:
-        fp = normalized_fp("text")  # the SHARED fingerprint (see dedup.py)
-        fp_frame = live.select(F.col(id_col), fp.alias("fp"))
-        if eager:
-            # SKINNY persist: (id, 32-byte fp) caches at ~0.13x the text
-            # frame's footprint (measured on the sf0.01 corpus: 0.019 MB vs
-            # 0.15 MB for (id, text); exploded shingles would pin 3.4x the
-            # text — the WRONG frame to cache), yet still stops the keeper
-            # groupBy and the loser join from re-running line-dedup + gates
-            fp_frame = fp_frame.persist(StorageLevel.MEMORY_AND_DISK)
-        keeper = fp_frame.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
-        exact_losers = fp_frame.join(
-            keeper, "fp").where(F.col(id_col) != F.col("keep_id")) \
-            .select(id_col)
-        if eager:
-            # small id-only frame, made self-contained so the RETURNED
-            # stitch re-executes the upstream once (for tagged), not twice
-            # (same localCheckpoint contract as connected_components'
-            # result: block loss on a checkpointed frame is not recoverable
-            # by lineage — acceptable for id-frames, rejected for corpora)
-            exact_losers = exact_losers.localCheckpoint(eager=True)
-    else:
-        exact_losers = live.limit(0).select(id_col)
-    live2 = live.join(exact_losers, id_col, "left_anti")
 
-    # --- stage 4: near dedup among the remainder ------------------------
-    if eager:
-        # The connected-components loop runs a driver action per round, so
-        # its inputs must not re-execute the upstream DAG every round:
-        # PERSIST (not localCheckpoint — persist keeps lineage, so losing
-        # an executor's blocks recomputes instead of permanently breaking
-        # the frame) live2 once and the verified pairs once. live2 pins
-        # (id, text) — the TEXT is required here, the shingle verify reads
-        # it four times (cand/card/a/b sides) — and is the floor for this
-        # stage: id+text caches ~22x smaller than the exploded shingle
-        # frame would (measured above). All caches are released before
-        # returning: CC's result is internally localCheckpointed
-        # (self-contained), and the returned frame only references
-        # tagged/exact_losers/near_losers. This stage is the ONLY eager
-        # path in curate(); with near-dedup off the plan stays fully lazy.
-        live2_p = live2.persist(StorageLevel.MEMORY_AND_DISK)
-        sh = _shingles(live2_p.select(F.col(id_col).alias("doc_id"), "text"))
-        pairs = (
-            _jaccard_on_candidates(sh)
-            .where(F.col("jac") >= cfg.near_dup_jaccard_pm)
-            .select("id_a", "id_b")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        try:
+    # Every transient persist registers here and is released in ONE finally:
+    # a failure anywhere in the eager section (the eager localCheckpoint
+    # job, plan construction, the CC loop) must not leak cached blocks into
+    # a long-lived driver session.
+    transient: list[DataFrame] = []
+    try:
+        # --- stage 3: exact dedup ---------------------------------------
+        if cfg.exact_dedup:
+            fp = normalized_fp("text")  # the SHARED fingerprint (dedup.py)
+            fp_frame = live.select(F.col(id_col), fp.alias("fp"))
+            if eager:
+                # SKINNY persist: (id, 32-byte fp) caches at ~0.13x the
+                # text frame's footprint (measured on the sf0.01 corpus:
+                # 0.019 MB vs 0.15 MB for (id, text); exploded shingles
+                # would pin 3.4x the text — the WRONG frame to cache), yet
+                # still stops the keeper groupBy and the loser join from
+                # re-running line-dedup + gates
+                fp_frame = fp_frame.persist(StorageLevel.MEMORY_AND_DISK)
+                transient.append(fp_frame)
+            keeper = fp_frame.groupBy("fp").agg(
+                F.min(id_col).alias("keep_id"))
+            exact_losers = fp_frame.join(
+                keeper, "fp").where(F.col(id_col) != F.col("keep_id")) \
+                .select(id_col)
+            if eager:
+                # small id-only frame, made self-contained so the RETURNED
+                # stitch re-executes the upstream once (for tagged), not
+                # twice (same localCheckpoint contract as
+                # connected_components' result: block loss on a
+                # checkpointed frame is not recoverable by lineage —
+                # acceptable for id-frames, rejected for corpora)
+                exact_losers = exact_losers.localCheckpoint(eager=True)
+        else:
+            exact_losers = live.limit(0).select(id_col)
+        live2 = live.join(exact_losers, id_col, "left_anti")
+
+        # --- stage 4: near dedup ----------------------------------------
+        if eager:
+            # The connected-components loop runs a driver action per
+            # round, so its inputs must not re-execute the upstream DAG
+            # every round: PERSIST (not localCheckpoint — persist keeps
+            # lineage, so losing an executor's blocks recomputes instead
+            # of permanently breaking the frame) live2 once and the
+            # verified pairs once. live2 pins (id, text) — the TEXT is
+            # required here, the shingle verify reads it four times
+            # (cand/card/a/b sides) — and is the floor for this stage:
+            # id+text caches ~22x smaller than the exploded shingle frame
+            # would (measured above). All caches are released before
+            # returning: CC's result is internally localCheckpointed
+            # (self-contained), and the returned frame only references
+            # tagged/exact_losers/near_losers. This stage is the ONLY
+            # eager path in curate(); with near-dedup off the plan stays
+            # fully lazy.
+            live2_p = live2.persist(StorageLevel.MEMORY_AND_DISK)
+            transient.append(live2_p)
+            sh = _shingles(
+                live2_p.select(F.col(id_col).alias("doc_id"), "text"))
+            pairs = (
+                _jaccard_on_candidates(sh)
+                .where(F.col("jac") >= cfg.near_dup_jaccard_pm)
+                .select("id_a", "id_b")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            transient.append(pairs)
             comp = connected_components(
                 live2_p.select(F.col(id_col).alias("id")), pairs)
             near_losers = comp.where("rep != id").select(
                 F.col("id").alias(id_col))
-        finally:
-            pairs.unpersist()
-            live2_p.unpersist()
-            if fp_frame is not None:
-                fp_frame.unpersist()
-    else:
-        near_losers = live2.limit(0).select(id_col)
+        else:
+            near_losers = live2.limit(0).select(id_col)
+    finally:
+        for p in transient:
+            p.unpersist()
 
     # --- stitch the audit trail back together ---------------------------
     return (

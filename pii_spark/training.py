@@ -179,7 +179,10 @@ def stratified_sample(
     # yields a null h and the row drops at any fraction (never aliases).
     h = F.substring(
         F.md5(F.concat(F.md5(F.col(key_col).cast("string")),
-                       F.md5(F.col(strata_col)),
+                       # explicit cast: md5 has no implicit INT->BINARY
+                       # coercion, so a numeric strata column would fail
+                       # analysis (the old concat_ws encoding coerced)
+                       F.md5(F.col(strata_col).cast("string")),
                        F.lit(f"sample:{seed}"))),
         1, 4)
     thr = thresholds[F.col(strata_col)]

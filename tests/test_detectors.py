@@ -96,12 +96,16 @@ def test_batch_checksums_match_scalar_exactly():
         # arabic-indic digits: scalar accepts them, batch must agree
         trans = str.maketrans("0123456789", "٠١٢٣٤٥٦٧٨٩")
         out.append(valid.translate(trans))
+        # digit-but-not-decimal (superscript two, isdigit-True): must be
+        # False on BOTH paths, not a ValueError that kills the Arrow batch
+        out.append(valid[:-1] + "²")
         return out
 
     cpfs = variants("52998224725") + ["52998224725 ", " 52998224725"]
     want = [cpf_checksum_ok(v) for v in cpfs]
     assert cpf_checksum_ok_batch(cpfs).tolist() == want
-    assert want[0] is True and want[-3] is True  # the unicode variant passes
+    assert want[0] is True and want[-4] is True  # the unicode variant passes
+    assert want[-3] is False                     # superscript: False, no raise
 
     cnpjs = variants("11222333000181")
     want = [cnpj_checksum_ok(v) for v in cnpjs]

@@ -232,6 +232,21 @@ def test_stratified_sample_delimiter_keys_do_not_alias(spark):
     assert agree < 5
 
 
+def test_stratified_sample_numeric_strata_column(spark):
+    """A non-string strata column must work (md5 needs an explicit string
+    cast — the old concat_ws encoding coerced implicitly, so this was a
+    regression risk when the digest encoding landed)."""
+    from pii_spark.training import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"k{i}", i % 3) for i in range(300)],
+        "rid long, k string, s int")
+    got = stratified_sample(df, {0: 1.0, 1: 0.5, 2: 0.0}, "s", "k", seed=1)
+    by = {r["s"]: r["n"] for r in
+          got.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by[0] == 100 and by.get(2) is None and 20 < by[1] < 80
+
+
 def test_stratified_sample_monotone_in_fraction(spark):
     """Raising a stratum's fraction only ADDS rows (hash thresholds are
     monotone, 'g' keep-all included): growing a mixture weight later must
