@@ -135,3 +135,37 @@ def test_viterbi_matches_brute_force_score(rows):
     got = float(sum(em[i, p] for i, p in enumerate(path)))
     best, _ = _brute_force_viterbi(em, labels, 0)
     assert got == best, (path, got, best)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, 6).flatmap(
+            lambda t: st.lists(
+                st.lists(st.integers(-40, 40).map(lambda v: v / 4.0),
+                         min_size=5, max_size=5),
+                min_size=t, max_size=t,
+            )
+        ),
+        min_size=0, max_size=8,
+    )
+)
+def test_viterbi_batch_matches_single_and_brute_force(seqs):
+    """viterbi_bio_batch must return element-identical paths to per-sequence
+    viterbi_bio on arbitrary mixed-length batches (quarter-integer emissions
+    tie CONSTANTLY — the tie-break-sensitive regime), and each path must
+    attain the brute-force optimal score."""
+    from pii_core.decoding import viterbi_bio_batch
+
+    labels = ["O", "B-A", "I-A", "B-B", "I-B"]
+    ems = [np.asarray(rows, dtype=np.float32).reshape(-1, 5)
+           for rows in seqs]
+    want = [viterbi_bio(e, labels, 0) for e in ems]
+    got = viterbi_bio_batch(ems, labels, 0)
+    assert got == want
+    for e, path in zip(ems, got):
+        if e.shape[0] == 0:
+            continue
+        score = float(sum(e[i, p] for i, p in enumerate(path)))
+        best, _ = _brute_force_viterbi(e, labels, 0)
+        assert score == best
