@@ -150,8 +150,10 @@ def main() -> int:
     # bump on any timing-methodology change OR a material implementation
     # change to a headline query (comparing across either would re-baseline
     # the series silently). v2: token_stats gained the real-WordTokenizer
-    # UDF columns merged from the retired token_offsets slot.
-    method = "median3-v2"
+    # UDF columns merged from the retired token_offsets slot. v3:
+    # extract_pages' partition count became size-aware (floor at 1x cores
+    # on small file inputs; 4x skew ceiling at scale).
+    method = "median3-v3"
     os.makedirs("BENCH", exist_ok=True)
     rec = {
         "ts": time.time(), "sf": sf, "cpus": cpus, "method": method,

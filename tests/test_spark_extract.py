@@ -151,3 +151,32 @@ def test_pathological_doc_quarantined_not_fatal(spark):
     assert bad["error"] is not None and "max_length" in bad["error"]
     assert bad["should_be_public"] is False  # fail-closed
     assert bad["spans"] == [] and bad["extracted_text"] == ""
+
+
+def test_partition_heuristic_bounds(spark, tmp_path, monkeypatch):
+    """Default partition count is size-aware but always within
+    [cores, 4*cores]: small FILE inputs take the floor (per-task overhead
+    dominates; file sources report real byte stats), while in-memory /
+    unknown-size relations report Long.Max and conservatively take the 4x
+    skew ceiling."""
+    from pii_spark import extract as ex
+    from pii_spark.synth import pages_df
+
+    captured = {}
+    cls = type(pages_df(spark, 1, seed=1))  # the CONCRETE DataFrame class
+    orig = cls.repartition
+
+    def spy(self, n, *cols):
+        captured["n"] = n
+        return orig(self, n, *cols)
+
+    monkeypatch.setattr(cls, "repartition", spy)
+    par = spark.sparkContext.defaultParallelism
+
+    small = str(tmp_path / "small_pages")
+    pages_df(spark, 10, seed=1).write.parquet(small)
+    ex.extract_pages(spark.read.parquet(small))
+    assert captured["n"] == par  # tiny file input -> floor
+
+    ex.extract_pages(pages_df(spark, 10, seed=1))
+    assert captured["n"] == 4 * par  # unknown-size relation -> ceiling
