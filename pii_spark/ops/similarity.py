@@ -120,6 +120,12 @@ def knn_lsh_frame(
     (util.write_bucketed_table) so probes are partition-pruned scans with
     zero shuffle; candidate dedup across tables happens on (query_id,
     vec_id) pairs only, never vectors."""
+    if not 0 <= radius <= 2:
+        # larger radii are not generated — refusing beats silently probing
+        # a smaller neighborhood than the caller asked for
+        raise ValueError(
+            f"radius must be 0, 1 or 2 (got {radius}); higher radii are "
+            "not implemented")
     eq = e.select("vec_id", _quant("embedding").alias("e"))
     keyed = eq.select(
         "vec_id", "e",
@@ -131,30 +137,47 @@ def knn_lsh_frame(
     ).select("vec_id", "e", F.col("tb.tbl").alias("tbl"),
              F.col("tb.bucket").alias("bucket"))
 
-    def flip(j: int) -> F.Column:
+    def flip(col: F.Column, j: int) -> F.Column:
         return F.concat(
-            F.substring("bucket", 1, j - 1),
-            F.when(F.substring("bucket", j, 1) == "1", "0").otherwise("1"),
-            F.expr(f"substring(bucket, {j + 1})"),
+            F.substring(col, 1, j - 1),
+            F.when(F.substring(col, j, 1) == "1", "0").otherwise("1"),
+            F.substring(col, j + 1, planes),
         )
 
     q = keyed.where(f"vec_id < {n_queries}").select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
-        "tbl", "bucket")
+        F.col("vec_id").alias("query_id"), "tbl", "bucket")
     probe_cols = [F.col("bucket")]
     if radius >= 1:
-        probe_cols += [flip(j) for j in range(1, planes + 1)]
+        probe_cols += [flip(F.col("bucket"), j)
+                       for j in range(1, planes + 1)]
+    if radius >= 2:
+        probe_cols += [flip(flip(F.col("bucket"), i), j)
+                       for i in range(1, planes + 1)
+                       for j in range(i + 1, planes + 1)]
     probes = q.select(
-        "query_id", "qe", "tbl",
+        "query_id", "tbl",
         F.explode(F.array(*probe_cols)).alias("bucket"))
+    # candidate generation and cross-table dedup on SKINNY rows: the probe
+    # join and dropDuplicates shuffle (tbl, bucket, ids) / (query_id,
+    # vec_id) pairs only — never the 64-long quantized vectors, which
+    # re-attach afterwards (one corpus-bounded join for the candidate side,
+    # a broadcast for the query side)
     cand = (
-        keyed.join(F.broadcast(probes), ["tbl", "bucket"])
+        keyed.select("vec_id", "tbl", "bucket")
+        .join(F.broadcast(probes), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("vec_id"))
         # a pair found by several tables/probes must score ONCE
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.select(
-        "query_id", "vec_id", _qdot(F.col("qe"), F.col("e")).alias("qdot"))
+    qvecs = F.broadcast(
+        eq.where(f"vec_id < {n_queries}")
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")))
+    scored = (
+        cand.join(eq, "vec_id")
+        .join(qvecs, "query_id")
+        .select("query_id", "vec_id",
+                _qdot(F.col("qe"), F.col("e")).alias("qdot"))
+    )
     return _rank_topk(scored, k)
 
 

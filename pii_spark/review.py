@@ -33,25 +33,56 @@ def _span_cmp(a: F.Column, b: F.Column) -> F.Column:
 
 
 def apply_review(
-    results: DataFrame, review: DataFrame, mode: str = "semi"
+    results: DataFrame,
+    review: DataFrame,
+    mode: str = "semi",
+    require_all_labels: bool = False,
 ) -> DataFrame:
     """Filter each row's ``spans`` against the reviewed (type, value) set.
 
-    mode="semi": keep only reviewed spans; mode="anti": drop reviewed spans.
-    Keeps url/extracted_text, recomputes n_spans and should_be_public.
+    mode="semi" follows the reference's keep rule
+    (pii_value_review.py:294-304): a span whose TYPE has review rows is
+    kept iff its (type, value) pair was reviewed; a span whose type is
+    ABSENT from the review table is kept as-is — a partial review table
+    must not silently strip (and thereby un-PII) the labels nobody
+    reviewed. ``require_all_labels=True`` mirrors the reference flag
+    (pii_value_review.py:288-292): RAISE if the dataset contains a label
+    the review table lacks. mode="anti" (this engine's extension) drops
+    exactly the reviewed pairs. Keeps url/extracted_text, recomputes
+    n_spans and should_be_public.
     """
     if mode not in ("semi", "anti"):
         raise ValueError(f"mode must be semi|anti, got {mode!r}")
+    if require_all_labels:
+        bad = (
+            results.select(F.explode("spans").alias("s"))
+            .select(F.col("s.type").alias("t")).distinct()
+            .join(F.broadcast(review.select(F.col("type").alias("t"))
+                              .distinct()), "t", "left_anti")
+            .limit(1).collect()
+        )
+        if bad:
+            raise ValueError(
+                f"review table missing label {bad[0]['t']!r} present in "
+                "the dataset (require_all_labels=True)")
 
     keyed = results.select(
-        "url", "extracted_text", F.posexplode_outer("spans").alias("pos", "s")
+        "url", "extracted_text", F.explode_outer("spans").alias("s")
     )
     joined = keyed.join(
         F.broadcast(review.select("type", "value").distinct()),
         (F.col("s.type") == F.col("type")) & (F.col("s.value") == F.col("value")),
         "left",
+    ).join(
+        F.broadcast(review.select(F.col("type").alias("rtype")).distinct()),
+        F.col("s.type") == F.col("rtype"),
+        "left",
     )
-    keep = F.col("type").isNotNull() if mode == "semi" else F.col("type").isNull()
+    if mode == "semi":
+        # pair reviewed OR type entirely unreviewed (reference keep-as-is)
+        keep = F.col("type").isNotNull() | F.col("rtype").isNull()
+    else:
+        keep = F.col("type").isNull()
     # Null out filtered spans instead of dropping their rows: a document whose
     # spans are ALL filtered must survive with spans=[] (and recomputed
     # should_be_public), not vanish from the output.
@@ -81,7 +112,11 @@ def add_missing(results: DataFrame, review: DataFrame) -> DataFrame:
     from spans, count it as a candidate. Emitted as a report frame
     (url, type, value) — occurrence offsets are doc-local and are produced
     by the extraction UDF on the next full run."""
-    pairs = F.broadcast(review.select("type", "value").distinct())
+    # empty review values are never candidates: instr(text, '') returns 1,
+    # which would flag EVERY document (apply_missing's occurrence SQL has
+    # the same guard; this is the report API's copy of it)
+    pairs = F.broadcast(review.select("type", "value").distinct()
+                        .where(F.length("value") > 0))
     have = results.select(
         "url", F.explode_outer("spans").alias("s")
     ).select("url", F.col("s.type").alias("type"), F.col("s.value").alias("value"))

@@ -18,6 +18,7 @@ micro-batches.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from pii_core.pipeline import ExtractConfig
@@ -43,7 +44,7 @@ def stream_extract(
     """
     cfg = cfg or ExtractConfig()
     reader = spark.readStream.schema(PAGES_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(input_dir)
 
@@ -65,8 +66,8 @@ def stream_extract(
 def windowed_pii_stream(
     spark: SparkSession,
     input_dir: str,
-    checkpoint_dir: str,
     output_dir: str,
+    checkpoint_dir: str,
     window: str = "10 minutes",
     watermark: str = "30 minutes",
 ) -> StreamingQuery:
@@ -91,7 +92,6 @@ def windowed_pii_stream(
     warc_ts rides through the extraction UDF as a passthrough column — no
     stream-stream re-join against the input needed.
     """
-    import pyspark.sql.functions as F  # noqa: PLC0415
     from pyspark.sql import types as T  # noqa: PLC0415
 
     cfg = ExtractConfig()
@@ -101,6 +101,13 @@ def windowed_pii_stream(
     )
     pages = spark.readStream.schema(PAGES_SCHEMA).option(
         "maxFilesPerTrigger", 1).parquet(input_dir)
+    # Explicit: rows with a null warc_ts cannot belong to any event-time
+    # window — Catalyst's TimeWindowing rule would drop them SILENTLY at
+    # the aggregation; filtering before the UDF makes the exclusion
+    # visible (and skips extracting rows no rollup can count). Route such
+    # rows through the batch path, whose resume/lineage story doesn't
+    # need event time.
+    pages = pages.where(F.col("warc_ts").isNotNull())
     results = pages.select("url", "html", "text", "warc_ts").mapInPandas(
         _extract_batches(cfg, passthrough=("warc_ts",)), schema=schema)
     agg = (
@@ -129,8 +136,8 @@ def windowed_pii_stream(
 def host_stats_stream(
     spark: SparkSession,
     input_dir: str,
-    checkpoint_dir: str,
     output_dir: str,
+    checkpoint_dir: str,
 ) -> StreamingQuery:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-host counters — pages seen and PII pages — maintained in Spark state
@@ -141,15 +148,12 @@ def host_stats_stream(
     history. State per key is two longs — millions of hosts fit trivially.
     """
     import pandas as pd  # noqa: PLC0415
-    from pyspark.sql import functions as F  # noqa: PLC0415
+
     from pyspark.sql import types as T  # noqa: PLC0415
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
         GroupStateTimeout,
     )
-
-    from pii_spark.extract import _extract_batches  # noqa: PLC0415
-    from pii_core.pipeline import ExtractConfig  # noqa: PLC0415
 
     out_schema = T.StructType([
         T.StructField("host", T.StringType(), False),
@@ -172,8 +176,13 @@ def host_stats_stream(
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     results = pages.select("url", "html", "text").mapInPandas(
         _extract_batches(ExtractConfig()), schema=RESULTS_WITH_PID)
+    # host stops at '/', '?' AND '#' (the ops/urls.py character class):
+    # pathless urls (https://site.com), query-only urls (...com?id=9) and
+    # mixed-case schemes must key under their real host, not under ''
     keyed = results.withColumn(
-        "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1))
+        "host",
+        F.lower(F.regexp_extract(
+            "url", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)))
 
     stats = keyed.groupBy("host").applyInPandasWithState(
         update, out_schema, state_schema, "update",

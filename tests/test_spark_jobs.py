@@ -454,22 +454,55 @@ def tiny_results(spark):
 
 
 def test_review_semi_and_anti(spark, tiny_results):
+    """Reference keep rule (pii_value_review.py:294-304): a PARTIAL review
+    table filters only the labels it covers — spans of unreviewed types
+    keep as-is (dropping them would silently un-PII whole label classes);
+    require_all_labels=True raises instead."""
+    import pytest as _pytest
+
     one = tiny_results.where("n_spans > 0").select(
         F.explode("spans").alias("s")).select("s.type", "s.value").first()
     review = spark.createDataFrame([(one["type"], one["value"])], "type string, value string")
 
+    all_spans = tiny_results.select(F.explode("spans").alias("s")) \
+        .select("s.type", "s.value").collect()
+    n_all = len(all_spans)
+    n_reviewed_type = sum(1 for r in all_spans if r["type"] == one["type"])
+    n_pair = sum(1 for r in all_spans
+                 if (r["type"], r["value"]) == (one["type"], one["value"]))
+    assert n_reviewed_type > n_pair  # fixture has unreviewed values too
+
     semi = apply_review(tiny_results, review, mode="semi")
-    kept = semi.select(F.explode("spans").alias("s")).select("s.type", "s.value").collect()
-    assert kept and all((r["type"], r["value"]) == (one["type"], one["value"]) for r in kept)
+    kept = semi.select(F.explode("spans").alias("s")) \
+        .select("s.type", "s.value").collect()
+    # reviewed type: only the reviewed value survives
+    assert all(r["value"] == one["value"]
+               for r in kept if r["type"] == one["type"])
+    # unreviewed types: byte-for-byte keep-as-is (the fail-open fix)
+    assert (sorted((r["type"], r["value"]) for r in kept if r["type"] != one["type"])
+            == sorted((r["type"], r["value"]) for r in all_spans if r["type"] != one["type"]))
+    assert len(kept) == n_all - (n_reviewed_type - n_pair)
+
+    # a review table covering EVERY type present reduces to the strict
+    # pair filter
+    full_review = spark.createDataFrame(
+        sorted({(r["type"], r["value"]) for r in all_spans
+                if (r["type"], r["value"]) != (one["type"], one["value"])}),
+        "type string, value string")
+    strict = apply_review(tiny_results, full_review, mode="semi")
+    n_strict = strict.select(F.sum("n_spans")).collect()[0][0]
+    assert n_strict == n_all - n_pair
 
     anti = apply_review(tiny_results, review, mode="anti")
     dropped = anti.select(F.explode("spans").alias("s")).select("s.type", "s.value").collect()
     assert all((r["type"], r["value"]) != (one["type"], one["value"]) for r in dropped)
+    assert len(dropped) == n_all - n_pair
 
-    n_semi = semi.select(F.sum("n_spans")).collect()[0][0]
-    n_anti = anti.select(F.sum("n_spans")).collect()[0][0]
-    n_all = tiny_results.select(F.sum("n_spans")).collect()[0][0]
-    assert n_semi + n_anti == n_all
+    # partial table + require_all_labels -> loud refusal, not silent strip
+    with _pytest.raises(ValueError, match="missing label"):
+        apply_review(tiny_results, review, require_all_labels=True)
+    apply_review(tiny_results, full_review.unionByName(review),
+                 require_all_labels=True)  # full coverage passes
 
 
 def test_review_add_missing(spark, tiny_results):
