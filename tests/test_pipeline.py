@@ -221,8 +221,15 @@ def test_batch_vs_per_page_parity_property(data):
     docs = data.draw(st.lists(st_doc, min_size=1, max_size=12))
     max_length = data.draw(st.integers(16, 64))
     stride = data.draw(st.integers(0, min(15, max_length - 3)))
+    # decode/aggregate drawn too: the non-default combinations route
+    # through extract_page_batch's single-doc finalize branch (no batched
+    # Viterbi) and must stay byte-identical there as well
     cfg = ExtractConfig(max_length=max_length, stride=stride,
-                        batch_size=data.draw(st.integers(1, 7)))
+                        batch_size=data.draw(st.integers(1, 7)),
+                        decode=data.draw(st.sampled_from(
+                            ["bio_viterbi", "argmax"])),
+                        aggregate=data.draw(st.sampled_from(
+                            ["mean_logits", "none"])))
     pages = []
     for i, txt in enumerate(docs):
         kind = data.draw(st.sampled_from(["html", "text", "none"]))
