@@ -11,7 +11,10 @@ each chunk fits ``max_length`` (chunking.py:264-285).
 Invariants (enforced by the property suite in ``tests/test_chunking.py``,
 mirroring the reference's fail-fast checks at build_finetune_jsonl.py:238-291):
 
-* chunks[0].char_start == 0, chunks[-1].char_end == len(text)
+* chunks[0].char_start == first non-whitespace position (0 when the
+  text does not start with whitespace — char-start backs up to WORD
+  start, so leading whitespace stays uncovered, exactly like the
+  reference), chunks[-1].char_end == len(text)
 * consecutive chunks overlap or touch: next.char_start <= cur.char_end
 * every chunk re-tokenizes to <= max_length tokens (with specials)
 * chunk.text == text[char_start:char_end]
@@ -26,6 +29,10 @@ from typing import NamedTuple
 
 from pii_core.tokenizer import WordTokenizer
 
+# NB: "\n" is unreachable — _trailing_nonspace skips ALL whitespace, so a
+# newline can never be the returned char. The reference has the identical
+# quirk (_last_non_space_char skips whitespace yet _SENTENCE_END lists
+# "\n", chunking.py:24,71-79); kept verbatim for scoring parity.
 SENTENCE_ENDS = frozenset({".", "!", "?", "\n"})
 WORD_EXTRA = frozenset({"'", "’", "-", "_"})
 

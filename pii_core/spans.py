@@ -26,7 +26,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from pii_core.decoding import softmax, split_label
+from pii_core.decoding import split_label
 from pii_core.labels import CNPJ_SHAPE, ENTITY_TYPES, _IDISH, sanitize_value
 
 
@@ -253,7 +253,7 @@ def gold_spans(text: str, entities: list[dict], *, row_index: int = 0) -> list[S
 
     if not raw:
         return []
-    uniq = sorted(set(raw))
+    uniq = list(set(raw))
     # longest-first greedy non-overlap selection (spans.py:404-421)
     uniq.sort(key=lambda x: (-(x[1] - x[0]), x[0], x[1], x[2]))
     kept: list[tuple[int, int, str]] = []

@@ -49,13 +49,18 @@ def build_chunked_dataset(
         for pdf in batches:
             out = {c: [] for c in ("doc_key", "chunk_index", "char_start",
                                     "char_end", "text", "entities", "error")}
-            for key, text, ents in zip(pdf[key_col], pdf["text"],
+            # the projection below renames key_col to doc_key, so batches
+            # always arrive with that name regardless of the caller's column
+            for key, text, ents in zip(pdf["doc_key"], pdf["text"],
                                        pdf["entities"]):
-                ents_list = [
-                    {"type": e["type"], "value": e["value"]}
-                    for e in (ents if ents is not None else [])
-                ]
                 try:
+                    # entity normalization INSIDE the try: a null struct
+                    # element in the array (schema containsNull) must
+                    # quarantine this row, not abort the whole job
+                    ents_list = [
+                        {"type": e["type"], "value": e["value"]}
+                        for e in (ents if ents is not None else [])
+                    ]
                     rows = chunked_dataset_rows(
                         text or "", ents_list, cfg, tokenizer)
                     err = None

@@ -414,7 +414,6 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     grams = docs.select(
         F.col(id_col),
-        F.size(toks).alias("n_tok"),
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
         .alias("tok_chars"),
         F.explode(F.when(

@@ -1098,9 +1098,13 @@ def chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunks = build_chunks(t, tok, max_length=64, stride=16,
                                   boundary_backoff=8)
             ncs.append(len(chunks))
+            # coverage starts at the first non-whitespace char (char
+            # starts back up to WORD start, so leading whitespace stays
+            # uncovered — the chunker's documented invariant)
+            first = len(t) - len(t.lstrip())
             covs.append(
-                not t or (chunks[0].char_start == 0
-                          and chunks[-1].char_end == len(t)))
+                not t.strip() or (chunks[0].char_start == first
+                                  and chunks[-1].char_end == len(t)))
         return pd.DataFrame({"n_chunks": ncs, "covered": covs})
 
     d = _t(spark, sf_dir, "documents")

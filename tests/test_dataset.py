@@ -86,3 +86,32 @@ def test_spark_build_chunked_dataset(spark):
                                  [{"type": "NOME_PESSOA", "value": "Bruno Silva"}])
     assert d1["text"] == local[0]["text"]
     assert d1["char_start"] == local[0]["char_start"]
+
+
+def test_build_chunked_dataset_custom_key_col_and_null_entity(spark):
+    """Regressions: (a) a non-default key_col must work (the UDF reads the
+    renamed doc_key column, not the caller's name); (b) a NULL struct
+    element inside the entities array quarantines THAT row with error set
+    instead of aborting the whole job."""
+    from pii_core.pipeline import ExtractConfig
+    from pii_spark.dataset import build_chunked_dataset
+
+    rows = [
+        ("u1", "texto com table aqui dentro",
+         [{"type": "QUASI_IDENTIFICADOR", "value": "table"}]),
+        ("u2", "mais texto limpo sem anotacao", []),
+        ("u3", "linha com anotacao quebrada", [None]),  # null element
+    ]
+    schema = ("url string, text string, entities "
+              "array<struct<type:string,value:string>>")
+    df = spark.createDataFrame(rows, schema)
+    out = build_chunked_dataset(
+        df, ExtractConfig(max_length=64, stride=16, boundary_backoff=8),
+        key_col="url").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["doc_key"], []).append(r)
+    assert set(by_key) == {"u1", "u2", "u3"}
+    assert all(r["error"] is None for r in by_key["u1"] + by_key["u2"])
+    assert by_key["u1"][0]["entities"]  # annotation sliced into its chunk
+    assert len(by_key["u3"]) == 1 and by_key["u3"][0]["error"] is not None
