@@ -23,6 +23,11 @@ from pii_core.labels import (  # noqa: F401
 from pii_core.spans import Span  # noqa: F401
 from pii_core.chunking import ChunkingConfigError  # noqa: F401
 from pii_core.html_extract import html_to_text  # noqa: F401
-from pii_core.pdf_extract import looks_like_pdf, pdf_to_text  # noqa: F401
+from pii_core.pdf_extract import (  # noqa: F401
+    UnsupportedPdfError,
+    looks_like_pdf,
+    pdf_to_text,
+    pdf_to_text_strict,
+)
 from pii_core.pipeline import ExtractConfig, extract_document, extract_page  # noqa: F401
 from pii_core.redact import redact  # noqa: F401

@@ -8,8 +8,13 @@ syntax) and FROZEN by golden tests in tests/test_pdf_extract.py.
 
 Pure stdlib (re + zlib), covering the well-formed simple-font subset:
 
-1. Input must start with ``%PDF-``; anything else (or any parse failure)
-   yields "" — never raises (the Spark pipeline quarantines, fail-closed).
+1. ``pdf_to_text``: input must start with ``%PDF-``; anything else (or any
+   parse failure) yields "" — never raises. The PIPELINE uses
+   ``pdf_to_text_strict`` instead, which raises ``UnsupportedPdfError``
+   whenever text coverage cannot be asserted (unreadable streams, or
+   streams present but zero text) so such pages QUARANTINE fail-closed —
+   a silent "" would flow to spans=[] and should_be_public=True,
+   publishing a document whose content was never actually scanned.
 2. Content streams are the ``stream``...``endstream`` payloads whose decoded
    bytes contain a ``BT`` text block. ``/FlateDecode`` streams are inflated
    with zlib; unfiltered streams are used raw; any other filter (DCT, LZW,
@@ -38,7 +43,19 @@ import re
 import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n")
+# the real object header is "N G obj" — matching a bare "obj" substring
+# would hit the tail of name tokens like /XObject inside the stream dict
+_OBJ_HDR_RE = re.compile(rb"\d+\s+\d+\s+obj\b")
 _WS_RUN = re.compile(r"\s+")
+
+
+class UnsupportedPdfError(RuntimeError):
+    """Raised by ``pdf_to_text_strict`` when a PDF's text coverage cannot
+    be asserted: at least one content stream was unreadable (unsupported
+    filter, corrupt compression, missing endstream), or the document has
+    streams but yielded no text at all (image-only / composite-font).
+    The extraction pipeline quarantines such pages instead of letting an
+    empty extraction mark them publishable."""
 
 _ESCAPES = {
     ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
@@ -50,23 +67,37 @@ _ESCAPES = {
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
-def _content_streams(data: bytes):
-    """Yield decoded candidate content streams (those containing b"BT")."""
+def _content_streams(data: bytes, counters: list[int] | None = None):
+    """Yield decoded candidate content streams (those containing b"BT").
+
+    ``counters`` (optional two-slot list) accumulates [streams_seen,
+    streams_unreadable] so the strict entry point can tell "no text
+    because there is none" from "no text because we could not read it"."""
     pos = 0
     while True:
         m = _STREAM_RE.search(data, pos)
         if m is None:
             return
+        if counters is not None:
+            counters[0] += 1
         start = m.end()
         end = data.find(b"endstream", start)
         if end < 0:
+            if counters is not None:
+                counters[1] += 1  # truncated: stream body unreadable
             return
         pos = end + 9
-        # the object header window carries the stream dict (nested dicts and
-        # all — token presence is what we test, not dict structure)
-        head_lo = data.rfind(b"obj", max(0, m.start() - 2048), m.start())
-        head = data[head_lo if head_lo >= 0 else max(0, m.start() - 2048):
-                    m.start()]
+        # The object header window carries the stream dict (nested dicts
+        # and all — token presence is what we test, not dict structure).
+        # The header is located by the LAST "N G obj" token before the
+        # stream: a substring rfind(b"obj") would match the tail of name
+        # tokens like /XObject inside the dict and truncate the window
+        # past /Filter, silently treating a compressed stream as raw.
+        win_lo = max(0, m.start() - 2048)
+        win = data[win_lo:m.start()]
+        head = win
+        for hm in _OBJ_HDR_RE.finditer(win):
+            head = win[hm.end():]
         raw = data[start:end]
         if b"/FlateDecode" in head:
             try:
@@ -77,8 +108,12 @@ def _content_streams(data: bytes):
                 try:
                     raw = zlib.decompress(raw.rstrip(b"\r\n"))
                 except Exception:
+                    if counters is not None:
+                        counters[1] += 1
                     continue
         elif b"/Filter" in head:
+            if counters is not None:
+                counters[1] += 1
             continue  # unsupported filter
         if b"BT" in raw:
             yield raw
@@ -214,28 +249,72 @@ def _stream_text(content: bytes) -> list[list[str]]:
     return blocks
 
 
-def pdf_to_text(pdf: bytes | str | None) -> str:
-    """Extract text from PDF bytes per the frozen spec above. Returns ""
-    for non-PDF/malformed input; never raises."""
+def _pdf_text_counted(pdf: bytes) -> tuple[str, int, int]:
+    """(text, streams_seen, streams_unreadable) for %PDF- prefixed bytes.
+    Internal parse errors surface to the caller."""
+    counters = [0, 0]
+    out_blocks: list[str] = []
+    for content in _content_streams(pdf, counters):
+        for block in _stream_text(content):
+            lines = [_WS_RUN.sub(" ", ln).strip() for ln in block]
+            lines = [ln for ln in lines if ln]
+            if lines:
+                out_blocks.append("\n".join(lines))
+    return "\n\n".join(out_blocks), counters[0], counters[1]
+
+
+def _coerce_pdf(pdf: bytes | str | None) -> bytes | None:
     if pdf is None:
-        return ""
+        return None
     if isinstance(pdf, str):
         pdf = pdf.encode("latin-1", errors="replace")
     else:
         pdf = bytes(pdf)
-    if not pdf.startswith(b"%PDF-"):
+    return pdf if pdf.startswith(b"%PDF-") else None
+
+
+def pdf_to_text(pdf: bytes | str | None) -> str:
+    """Extract text from PDF bytes per the frozen spec above. Returns ""
+    for non-PDF/malformed input; never raises. For pipeline use prefer
+    ``pdf_to_text_strict`` — this lenient form cannot distinguish "no
+    text" from "unreadable text"."""
+    data = _coerce_pdf(pdf)
+    if data is None:
         return ""
-    out_blocks: list[str] = []
     try:
-        for content in _content_streams(pdf):
-            for block in _stream_text(content):
-                lines = [_WS_RUN.sub(" ", ln).strip() for ln in block]
-                lines = [ln for ln in lines if ln]
-                if lines:
-                    out_blocks.append("\n".join(lines))
+        return _pdf_text_counted(data)[0]
     except Exception:
         return ""
-    return "\n\n".join(out_blocks)
+
+
+def pdf_to_text_strict(pdf: bytes | str | None) -> str:
+    """``pdf_to_text`` that REFUSES to vouch for what it could not read:
+    raises ``UnsupportedPdfError`` when any content stream is unreadable
+    (unsupported filter, corrupt compression, truncation, parse failure)
+    or when streams exist but no text came out (image-only or
+    composite-font documents — their content may hold PII this engine
+    cannot see). Non-PDF / empty input still returns "" (the payload
+    sniff routes those to the HTML path anyway)."""
+    data = _coerce_pdf(pdf)
+    if data is None:
+        return ""
+    try:
+        text, n_streams, n_bad = _pdf_text_counted(data)
+    except Exception as e:
+        raise UnsupportedPdfError(
+            f"PDF parse failed ({type(e).__name__}: {e}) — text coverage "
+            "cannot be asserted") from e
+    if n_bad:
+        raise UnsupportedPdfError(
+            f"{n_bad}/{n_streams} content streams unreadable (unsupported "
+            "filter, corrupt compression or truncation) — quarantining "
+            "beats publishing unscanned content")
+    if n_streams and not text:
+        raise UnsupportedPdfError(
+            f"{n_streams} content streams but no extractable text "
+            "(image-only or composite-font PDF) — cannot assert the "
+            "document is PII-free")
+    return text
 
 
 def looks_like_pdf(payload: bytes | str | None) -> bool:

@@ -39,7 +39,7 @@ from pii_core.decoding import viterbi_bio, viterbi_bio_batch
 from pii_core.detectors import detect_spans
 from pii_core.html_extract import html_to_text
 from pii_core.labels import PII_TYPES, label_maps
-from pii_core.pdf_extract import looks_like_pdf, pdf_to_text
+from pii_core.pdf_extract import looks_like_pdf, pdf_to_text_strict
 from pii_core.ner_stub import StubEmitter
 from pii_core.spans import Span, filter_spans, merge_and_resolve, spans_from_bio
 from pii_core.tokenizer import WordTokenizer
@@ -378,7 +378,10 @@ def _payload_to_text(html: bytes | None, text: str | None) -> str:
     "HTML boilerplate strip, PDF/layout parse" stage)."""
     if html:
         if looks_like_pdf(html):
-            return pdf_to_text(html)
+            # STRICT: a PDF whose text coverage cannot be asserted raises
+            # (UnsupportedPdfError) and the page quarantines fail-closed —
+            # the lenient "" would mark an unscanned document publishable
+            return pdf_to_text_strict(html)
         return html_to_text(html)
     return text or ""
 

@@ -31,24 +31,16 @@ def redact_expr(text: Column, spans: Column, mode: str = "tag") -> Column:
     if mode not in MODES:
         raise ValueError(f"unknown redaction mode: {mode!r} (use tag|mask)")
     pii_types = list(PII_TYPES)
-    pii = F.filter(spans, _is_pii_factory(pii_types))
+    pii = F.filter(spans, lambda s: s["type"].isin(pii_types))
 
-    # Validity sweep (same aggregate shape as the splice): the cursor only
-    # ever moves forward, so sortedness + non-overlap + in-bounds reduce to
-    # "every span starts at or after the cursor and ends inside the text".
-    valid = F.aggregate(
-        pii,
-        F.struct(F.lit(0).alias("pos"), F.lit(True).alias("ok")),
-        lambda acc, s: F.struct(
-            s["end"].alias("pos"),
-            (acc["ok"] & (s["start"] >= acc["pos"])
-             & (s["end"] >= s["start"])
-             & (s["end"] <= F.length(text))).alias("ok"),
-        ),
-        lambda acc: acc["ok"],
-    )
-
-    init = F.struct(F.lit(0).alias("pos"), F.lit("").alias("acc"))
+    # ONE fused pass: the splice accumulator also carries an `ok` flag
+    # (the cursor only moves forward, so sortedness + non-overlap +
+    # in-bounds reduce to "every span starts at or after the cursor and
+    # ends inside the text"); the finish lambda yields NULL instead of a
+    # possibly mis-spliced string whenever a check failed (a null struct
+    # element null-propagates into ok and lands here too).
+    init = F.struct(F.lit(0).alias("pos"), F.lit("").alias("acc"),
+                    F.lit(True).alias("ok"))
 
     def merge(acc: Column, s: Column) -> Column:
         repl = (F.concat(F.lit("["), s["type"], F.lit("]")) if mode == "tag"
@@ -60,24 +52,35 @@ def redact_expr(text: Column, spans: Column, mode: str = "tag") -> Column:
                 F.substring(text, acc["pos"] + 1, s["start"] - acc["pos"]),
                 repl,
             ).alias("acc"),
+            (acc["ok"] & (s["start"] >= acc["pos"])
+             & (s["end"] >= s["start"])
+             & (s["end"] <= F.length(text))).alias("ok"),
         )
 
-    splice = F.aggregate(
+    spliced = F.aggregate(
         pii, init, merge,
-        lambda acc: F.concat(acc["acc"],
-                             F.substring(text, acc["pos"] + 1,
-                                         F.length(text) - acc["pos"])),
+        lambda acc: F.when(
+            acc["ok"],
+            F.concat(acc["acc"],
+                     F.substring(text, acc["pos"] + 1,
+                                 F.length(text) - acc["pos"]))),
     )
-    return F.when(valid, splice).otherwise(F.raise_error(F.lit(
-        "redact_expr: spans array is not sorted/non-overlapping/in-bounds "
-        "(requires merge_and_resolve output) — refusing a mis-splice that "
-        "could leak PII")))
-
-
-def _is_pii_factory(pii_types: list[str]):
-    # closure factory: a bare 2-arg lambda to F.filter would be read as
-    # (element, index)
-    return lambda s: s["type"].isin(pii_types)
+    # Null handling is explicit so the failure diagnosis is accurate: a
+    # null text redacts to null (nothing to publish); a null spans array
+    # under non-null text means the text was never scanned — fail closed,
+    # loudly, with a message that does not blame span ordering.
+    return (
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .when(spans.isNull(), F.raise_error(F.lit(
+            "redact_expr: spans is NULL for a non-null text — cannot "
+            "assert the text was scanned; filter or repair such rows "
+            "before redacting")))
+        .when(spliced.isNotNull(), spliced)
+        .otherwise(F.raise_error(F.lit(
+            "redact_expr: spans array is not sorted/non-overlapping/"
+            "in-bounds (requires merge_and_resolve output) — refusing a "
+            "mis-splice that could leak PII")))
+    )
 
 
 def redact_results(results: DataFrame, mode: str = "tag") -> DataFrame:

@@ -171,3 +171,50 @@ def test_fuzz_mutated_pdfs_never_raise_and_never_poison_the_batch():
     ok = recs[50]
     assert isinstance(ok, dict) and "maria@example.com" in ok["extracted_text"]
     assert ok["should_be_public"] is False
+
+
+def test_xobject_name_in_dict_does_not_break_filter_detection():
+    """Regression: the object-header window is located by the real
+    'N G obj' token — a bare rfind(b"obj") matched the tail of name
+    tokens like /Name /Xobject inside the stream dict, truncating the
+    window past /Filter /FlateDecode so the compressed stream was scanned
+    raw and its text silently discarded."""
+    content = b"BT (CPF 529.982.247-25 escondido em xobject) Tj ET"
+    body = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n"
+           + (b"1 0 obj\n<< /Length %d /Filter /FlateDecode "
+              b"/Name /Xobject >>\nstream\n" % len(body))
+           + body + b"\nendstream\nendobj\ntrailer\n%%EOF\n")
+    assert "529.982.247-25" in pdf_to_text(pdf)
+
+
+def test_strict_pdf_quarantines_unscannable_documents():
+    """Fail-closed contract: a PDF whose text coverage cannot be asserted
+    must QUARANTINE in the pipeline (error row), never flow to spans=[] /
+    should_be_public=True — the lenient pdf_to_text stays ''-returning
+    for report/debug use."""
+    import pytest as _pytest
+
+    from pii_core.pdf_extract import UnsupportedPdfError, pdf_to_text_strict
+    from pii_core.pipeline import extract_page_batch
+
+    lzw = mk_pdf(b"BT (segredo ilegivel) Tj ET", compress=False,
+                 filt=b"/Filter /LZWDecode ")
+    imageish = mk_pdf(b"\x00\x01rasterbytes\x02", compress=True)
+    fine = mk_pdf(b"BT (Contato: maria@example.com) Tj ET")
+    empty_doc = b"%PDF-1.4\ntrailer\n<< >>\n%%EOF\n"  # no streams at all
+
+    assert pdf_to_text(lzw) == ""                      # lenient unchanged
+    with _pytest.raises(UnsupportedPdfError, match="unreadable"):
+        pdf_to_text_strict(lzw)
+    with _pytest.raises(UnsupportedPdfError, match="no extractable text"):
+        pdf_to_text_strict(imageish)
+    assert pdf_to_text_strict(empty_doc) == ""         # genuinely empty: ok
+    assert "maria@example.com" in pdf_to_text_strict(fine)
+
+    recs = extract_page_batch([("a", lzw, None), ("b", fine, None),
+                               ("c", imageish, None)])
+    assert isinstance(recs[0], UnsupportedPdfError)
+    assert isinstance(recs[2], UnsupportedPdfError)
+    assert isinstance(recs[1], dict)
+    assert recs[1]["should_be_public"] is False

@@ -111,3 +111,29 @@ def test_spark_redaction_parity(spark):
                     assert len(r["redacted_text"]) == len(r["extracted_text"])
     finally:
         results.unpersist()
+
+
+def test_redact_null_text_and_null_spans(spark):
+    """Nulls from externally-stored tables: null text redacts to null
+    (nothing to publish); null spans under non-null text raises with an
+    ACCURATE message (the text was never scanned — fail closed), not the
+    span-ordering diagnosis."""
+    from pii_spark.ops.redact import redact_results
+
+    schema = ("url string, extracted_text string, spans array<struct<"
+              "type:string,start:int,end:int,value:string,conf:double,"
+              "n_tokens:int>>")
+    df = spark.createDataFrame(
+        [("a", None, []), ("b", "texto ok", []),
+         ("c", "cpf aqui", [{"type": "DOC_PESSOAL", "start": 0, "end": 3,
+                             "value": "cpf", "conf": 1.0, "n_tokens": 1}])],
+        schema)
+    rows = {r["url"]: r["redacted_text"]
+            for r in redact_results(df, "tag").collect()}
+    assert rows["a"] is None
+    assert rows["b"] == "texto ok"
+    assert rows["c"] == "[DOC_PESSOAL] aqui"
+
+    df2 = spark.createDataFrame([("d", "texto real", None)], schema)
+    with pytest.raises(Exception, match="spans is NULL"):
+        redact_results(df2, "tag").collect()
