@@ -204,11 +204,19 @@ def validate_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     Returns (valid, quarantined). Rules: url non-null/non-empty and unique;
     at least one of html/text present.
     """
-    from pyspark.sql import Window
-
     cols = pages.columns
-    w = Window.partitionBy("url")
-    flagged = pages.withColumn("_dup", F.count("*").over(w) > 1)
+    # duplicate detection on a PROJECTED url aggregate joined back, never a
+    # window over the full rows: Window.partitionBy(url) would hash-shuffle
+    # every multi-KB html payload just to count urls, while this shuffles
+    # one dictionary-encoded string column and broadcasts/joins the (tiny)
+    # duplicate set back against the pages
+    dups = (
+        pages.where(F.col("url").isNotNull())
+        .groupBy("url").agg(F.count("*").alias("_c"))
+        .where(F.col("_c") > 1).select("url", F.lit(True).alias("_dup"))
+    )
+    flagged = pages.join(dups, "url", "left") \
+        .withColumn("_dup", F.coalesce("_dup", F.lit(False)))
     reason = (
         F.when(F.col("url").isNull() | (F.length("url") == 0), "null_url")
         .when(F.col("_dup"), "duplicate_url")

@@ -380,22 +380,42 @@ def adopt_crashed_runs(
     Returns adopted run ids. Must not race a live increment (same
     single-operator assumption as vacuum_uncommitted).
 
-    Refuses to adopt a run whose urls a LATER increment already
-    re-extracted (adopting then would commit the same url twice) — run it
-    before the next increment, or use ``vacuum_uncommitted``."""
-    adopted = []
-    for rid in _uncommitted_run_ids(results_dir):
-        res = (
-            spark.read.schema(_committed_schema()).parquet(results_dir)
-            .where(F.col("run_id") == rid)
-        )
-        marked = committed_urls(spark, results_dir)
-        if marked is not None and res.select("url").join(
-                marked, "url", "left_semi").limit(1).count():
+    Refuses to adopt a run whose urls a LATER increment already committed,
+    or that another crashed candidate also extracted (adopting either way
+    would commit the same url twice) — run it before the next increment,
+    or use ``vacuum_uncommitted``. The refusal is ALL-OR-NOTHING: every
+    candidate is validated BEFORE any marker is written, so a raise never
+    leaves some runs silently adopted with the adopted-ids list lost."""
+    rids = _uncommitted_run_ids(results_dir)
+    if not rids:
+        return []
+    all_res = (
+        spark.read.schema(_committed_schema()).parquet(results_dir)
+        .where(F.col("run_id").isin(rids))
+    )
+    # phase 1 — validate everything, mutate nothing
+    cand = all_res.select("url", "run_id")
+    marked = committed_urls(spark, results_dir)
+    if marked is not None:
+        clash = sorted(r["run_id"] for r in cand.join(
+            marked, "url", "left_semi").select("run_id").distinct().collect())
+        if clash:
             raise ValueError(
-                f"crashed run {rid!r} overlaps urls a later increment "
-                "already committed; adopting it would double-commit — use "
-                "vacuum_uncommitted to discard it instead")
+                f"crashed run(s) {clash} overlap urls a later increment "
+                "already committed; adopting would double-commit — use "
+                "vacuum_uncommitted to discard them (nothing was adopted)")
+    between = sorted(r["run_id"] for r in cand.groupBy("url").agg(
+        F.collect_set("run_id").alias("rs")).where(F.size("rs") > 1)
+        .select(F.explode("rs").alias("run_id")).distinct().collect())
+    if between:
+        raise ValueError(
+            f"crashed runs {between} extracted overlapping urls; adopting "
+            "all of them would double-commit — vacuum the redundant ones "
+            "first (nothing was adopted)")
+    # phase 2 — adopt: lineage (if missing) then marker, per run
+    adopted = []
+    for rid in rids:
+        res = all_res.where(F.col("run_id") == rid)
         n = res.count()
         if n and not _lineage_has_run(lineage_dir, rid):
             _append_lineage(lineage_from_results(res, rid), lineage_dir)
@@ -441,6 +461,18 @@ def _lineage_has_run(lineage_dir: str, run_id: str) -> bool:
     return bool(_run_partition_dirs(lineage_dir, run_id))
 
 
+def _lineage_summary_schema():
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return T.StructType([
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("docs", T.LongType(), True),
+        T.StructField("bytes", T.LongType(), True),
+        T.StructField("spans_by_type",
+                      T.MapType(T.StringType(), T.LongType()), True),
+    ])
+
+
 def lineage_summary(
     spark: SparkSession, lineage_dir: str, results_dir: str,
 ) -> DataFrame:
@@ -451,6 +483,11 @@ def lineage_summary(
     orphan rows for any caller using the old 2-arg form — the exact state
     the commit-marker protocol exists to make impossible.)"""
     _require_partitioned_layout(lineage_dir)
+    if not _exists(lineage_dir):
+        # legitimate committed states write no lineage at all (a zero-doc
+        # first increment commits via the early-return path) — an empty
+        # rollup, not PATH_NOT_FOUND
+        return spark.createDataFrame([], _lineage_summary_schema())
     lin = spark.read.schema(_lineage_schema()).parquet(lineage_dir)
     lin = lin.where(F.col("run_id").isin(
         committed_run_ids(results_dir) or [""]))

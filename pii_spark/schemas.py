@@ -46,12 +46,6 @@ RESULTS_SCHEMA = T.StructType(
     ]
 )
 
-LINEAGE_SCHEMA = T.StructType(
-    [
-        T.StructField("run_id", T.StringType(), False),
-        T.StructField("partition_id", T.IntegerType(), False),
-        T.StructField("docs", T.LongType(), False),
-        T.StructField("bytes", T.LongType(), False),
-        T.StructField("spans_by_type", T.MapType(T.StringType(), T.LongType()), False),
-    ]
-)
+# The lineage read schema lives in pii_spark.resume._lineage_schema —
+# run_id is a HIVE PARTITION column (last, string-pinned) there, so a
+# data-column twin here would drift and misread the dir.

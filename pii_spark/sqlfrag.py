@@ -97,5 +97,7 @@ def aug_text_sql() -> str:
 
 EMAIL_PAT = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 PHONE_PAT = r"\(\d{2}\) 9\d{3,4}-\d{4}"
-CEP_PAT = r"\d{5}-\d{3}"
-CPF_BARE_PAT = r"\d{11}"
+# \b on both ends: without them the pattern matches a SUBSTRING of every
+# synthetic phone number ("9NNNN-NNNN" contains "NNNNN-NNN"), so n_cep
+# counted phones. \b is in the Spark-Java / RE2 common subset.
+CEP_PAT = r"\b\d{5}-\d{3}\b"

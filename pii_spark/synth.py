@@ -158,7 +158,10 @@ def gen_page(i: int, seed: int = 42, pii_rate: float = 0.45,
         v = _cpf(rng)
         paras = [f"Dois registros do mesmo CPF {v} e novamente {v} aqui."]
     elif i % 211 == 5:
-        c = _cnpj(rng, valid=True)
+        # BARE digits, deterministically: the edge is "one value is a
+        # numeric substring of another", which needs the unformatted
+        # 14-digit run every time (_cnpj formats randomly)
+        c = "".join(ch for ch in _cnpj(rng, valid=True) if ch.isdigit())
         paras = [f"Documento composto {c} contem subsequencias numericas."]
 
     html = "" if i % 211 == 6 else _page_html(rng, paras, title)
@@ -198,13 +201,17 @@ def gen_pdf_page(i: int, seed: int = 42, pii_rate: float = 0.45) -> dict:
     rng = random.Random(((seed << 24) ^ i) + 0x9E3779B9)
     title = _plain_sentence(rng, 4).rstrip(".")
     paras = _paragraphs(rng, rng.randrange(1, 8), pii_rate)
+    title_opt = title
     if i % 97 == 7:
-        paras = []  # empty-content pdf
+        # TRULY textless pdf (no title either): streams exist but no text
+        # comes out, so the strict pipeline QUARANTINES it — the corpus
+        # must exercise that fail-closed branch, not just comment about it
+        paras, title_opt = [], ""
     ts = _EPOCH + _dt.timedelta(seconds=(i * 53) % 31_536_000)
     return {
         "url": f"https://site-{i % 97:02d}.example.gov.br/pdf/{seed}/{i}",
         "warc_ts": ts,
-        "html": _page_pdf(paras, title),
+        "html": _page_pdf(paras, title_opt),
         "text": None,
         "lang": _LANGS[i % len(_LANGS)],
     }
@@ -213,17 +220,7 @@ def gen_pdf_page(i: int, seed: int = 42, pii_rate: float = 0.45) -> dict:
 def pdf_pages_df(spark, n: int, seed: int = 42,
                  num_partitions: int | None = None):
     """Distributed deterministic PDF corpus (same contract as pages_df)."""
-    from pii_spark.schemas import PAGES_SCHEMA
-
-    num_partitions = num_partitions or max(
-        2, spark.sparkContext.defaultParallelism)
-    rdd = spark.sparkContext.parallelize(range(n), num_partitions)
-
-    def as_row(i: int):
-        r = gen_pdf_page(i, seed=seed)
-        return (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
-
-    return spark.createDataFrame(rdd.map(as_row), PAGES_SCHEMA)
+    return _gen_df(spark, gen_pdf_page, n, seed, num_partitions)
 
 
 def gen_pages(n: int, seed: int = 42, pii_rate: float = 0.45,
@@ -232,21 +229,28 @@ def gen_pages(n: int, seed: int = 42, pii_rate: float = 0.45,
         yield gen_page(i, seed=seed, pii_rate=pii_rate, skew=skew)
 
 
-def pages_df(spark, n: int, seed: int = 42, num_partitions: int | None = None):
-    """Distributed deterministic generation: parallelize indices, build each
-    record executor-side (record i depends only on (seed, i)). Scales to any
-    n with no driver memory pressure — at 10^12 rows this is the same code,
-    just more index partitions."""
+def _gen_df(spark, gen, n: int, seed: int,
+            num_partitions: int | None):
+    """Shared scaffolding for the deterministic corpora: parallelize
+    indices, build each record executor-side (record i depends only on
+    (seed, i)). Scales to any n with no driver memory pressure — at 10^12
+    rows this is the same code, just more index partitions."""
     from pii_spark.schemas import PAGES_SCHEMA
 
-    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    num_partitions = num_partitions or max(
+        2, spark.sparkContext.defaultParallelism)
     rdd = spark.sparkContext.parallelize(range(n), num_partitions)
 
     def as_row(i: int):
-        r = gen_page(i, seed=seed)
+        r = gen(i, seed=seed)
         return (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
 
     return spark.createDataFrame(rdd.map(as_row), PAGES_SCHEMA)
+
+
+def pages_df(spark, n: int, seed: int = 42, num_partitions: int | None = None):
+    """Distributed deterministic page corpus (see _gen_df)."""
+    return _gen_df(spark, gen_page, n, seed, num_partitions)
 
 
 def write_pages(spark, out_dir: str, n: int, seed: int = 42) -> None:

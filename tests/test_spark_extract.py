@@ -53,16 +53,26 @@ def test_pdf_pages_byte_identical_parity(spark):
            for r in extract_pages(pdf_pages_df(spark, n, seed=77),
                                   num_partitions=3).collect()}
     assert len(got) == n
-    some_spans = some_text = False
+    some_spans = some_text = some_quarantined = False
     for i in range(n):
         rec = gen_pdf_page(i, seed=77)
-        expect = extract_page(rec["url"], rec["html"], rec["text"])
         g = got[rec["url"]]
+        try:
+            expect = extract_page(rec["url"], rec["html"], rec["text"])
+        except Exception as e:  # noqa: BLE001 — quarantine parity
+            # the textless-pdf edge doc (i % 97 == 7): the per-doc API
+            # raises, the Spark row quarantines FAIL-CLOSED
+            assert type(e).__name__ in (g["error"] or ""), rec["url"]
+            assert g["should_be_public"] is False
+            some_quarantined = True
+            continue
+        assert g["error"] is None, rec["url"]
         assert g["extracted_text"] == expect["extracted_text"], rec["url"]
         assert g["spans"] == expect["spans"], rec["url"]
         some_spans |= bool(expect["spans"])
         some_text |= bool(expect["extracted_text"])
-    assert some_spans and some_text  # the corpus exercises real extraction
+    # the corpus exercises real extraction AND the fail-closed branch
+    assert some_spans and some_text and some_quarantined
 
 
 def test_partition_invariance(spark, pages, results):
