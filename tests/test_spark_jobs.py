@@ -253,6 +253,36 @@ def test_adopt_refuses_after_later_increment_overlaps(
     assert resume.vacuum_uncommitted(rdir, ldir) == ["r1"]
 
 
+def test_adopt_all_or_nothing_on_overlapping_candidates(
+        spark, tmp_path, monkeypatch):
+    """TWO crashed runs sharing urls: adopting both would double-commit,
+    and the refusal must mutate NOTHING — under the old sequential check
+    the first run was adopted (marker on disk) before the second raised,
+    and the adopted-ids list was lost with the exception."""
+    import pii_spark.resume as resume
+
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    _crash_before_marker(monkeypatch)
+    with pytest.raises(RuntimeError, match="crash"):
+        run_incremental(spark, pages_df(spark, 6, seed=3), rdir, ldir, "rA",
+                        num_partitions=2)
+    # second crashed increment re-extracts the SAME pages (rA is unmarked,
+    # so its urls don't anti-join away)
+    with pytest.raises(RuntimeError, match="crash"):
+        run_incremental(spark, pages_df(spark, 6, seed=3), rdir, ldir, "rB",
+                        num_partitions=2)
+    monkeypatch.undo()
+
+    with pytest.raises(ValueError, match="nothing was adopted"):
+        resume.adopt_crashed_runs(spark, rdir, ldir)
+    assert resume.committed_run_ids(rdir) == []  # truly nothing adopted
+    # operator resolves by vacuuming one (here: both) and moving on
+    assert resume.vacuum_uncommitted(rdir, ldir) == ["rA", "rB"]
+    out = run_incremental(spark, pages_df(spark, 6, seed=3), rdir, ldir,
+                          "rC", num_partitions=2)
+    assert out["docs"] == 6
+
+
 def test_error_rate_circuit_breaker_refuses_systemic_failure(
         spark, tmp_path):
     """Per-page quarantine must not let a SYSTEMIC failure commit: when
