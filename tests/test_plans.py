@@ -167,3 +167,32 @@ def test_redaction_is_pure_projection_no_exchange_no_python(spark, tmp_path):
         assert "BatchEvalPython" not in plan, mode
         assert "ArrowEvalPython" not in plan, mode
         assert "MapInPandas" not in plan, mode
+
+
+def test_curation_dag_plan_no_cartesian_and_pruned_scan(spark, tmp_path):
+    """The composed curate() DAG (all four stages) must never enumerate
+    pairs (LSH buckets only) and its parquet scan must prune to the two
+    columns the DAG reads."""
+    import pandas as pd
+
+    from pii_spark.curation import CurationConfig, curate
+
+    p = str(tmp_path / "docs")
+    pd.DataFrame(
+        [(i, f"doc {i} " + " ".join(f"w{(i * 7 + j) % 23}"
+                                    for j in range(40)), "extra")
+         for i in range(60)],
+        columns=["doc_id", "text", "unused"],
+    ).pipe(lambda d: spark.createDataFrame(d).write.parquet(p))
+    out = curate(
+        spark.read.parquet(p),
+        CurationConfig(min_tokens=5, max_dup_line_pm=None,
+                       max_top_2gram_char_pm=None,
+                       max_dup_5gram_char_pm=None,
+                       line_dedup_max_doc_freq=50, exact_dedup=True,
+                       near_dup_jaccard_pm=500))
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scan = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
+    assert "unused" not in scan  # column pruning reached the source
