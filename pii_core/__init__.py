@@ -22,7 +22,10 @@ from pii_core.labels import (  # noqa: F401
 )
 from pii_core.spans import Span  # noqa: F401
 from pii_core.chunking import ChunkingConfigError  # noqa: F401
-from pii_core.html_extract import html_to_text  # noqa: F401
+from pii_core.html_extract import (  # noqa: F401
+    html_to_text,
+    html_to_text_strict,
+)
 from pii_core.pdf_extract import (  # noqa: F401
     UnsupportedPdfError,
     looks_like_pdf,

@@ -49,7 +49,15 @@ BOILERPLATE_HINT = re.compile(
 )
 _WS_RUN = re.compile(r"\s+")
 
-_VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
+# The FULL HTML5 void set matters for drop correctness, not just stack
+# hygiene: a void tag is never pushed, so nothing ever decrements a drop it
+# started — a boilerplate-classed <embed>/<source>/<wbr> from the old
+# partial set opened a drop that silently swallowed every following
+# sibling (PII included) until an ancestor closed.
+_VOID_TAGS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+})
 
 
 class _Block:
@@ -155,6 +163,46 @@ class _ContentParser(HTMLParser):
             self._cur = _Block("body")
 
 
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.IGNORECASE)
+
+
+def _decode_html(b: bytes) -> str:
+    """Deterministic charset resolution (frozen spec, step 0):
+
+    1. A BOM wins (utf-8-sig / utf-16 le / utf-16 be).
+    2. Else the first ``<meta ... charset=X`` declaration in the leading
+       2048 bytes, when X names a codec Python knows.
+    3. Else strict utf-8; if that fails, windows-1252 — the dominant
+       legacy encoding of the pt-BR web this taxonomy targets. Blind
+       utf-8-with-replace would mojibake every accented character of a
+       Latin-1 page ('José' -> 'Jos\\ufffd') and the name/gazetteer
+       patterns ([a-zà-ÿ]) would silently stop matching — degraded PII
+       recall with no error anywhere.
+
+    All branches decode with errors="replace", so the result is always a
+    str and the choice is a pure function of the bytes."""
+    if b.startswith(b"\xef\xbb\xbf"):
+        return b.decode("utf-8-sig", errors="replace")
+    if b.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return b.decode("utf-16", errors="replace")
+    m = _META_CHARSET_RE.search(b[:2048])
+    if m:
+        name = m.group(1).decode("ascii", errors="replace").lower()
+        try:
+            import codecs  # noqa: PLC0415
+
+            codecs.lookup(name)
+        except LookupError:
+            name = None
+        if name:
+            return b.decode(name, errors="replace")
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("windows-1252", errors="replace")
+
+
 def html_to_text(html: bytes | str | None) -> str:
     """Extract main-content text from raw HTML bytes (or str) per the frozen
     spec above. Returns "" for empty/undecodable input; never raises."""
@@ -162,7 +210,7 @@ def html_to_text(html: bytes | str | None) -> str:
         return ""
     if isinstance(html, (bytes, bytearray, memoryview)):
         try:
-            html = bytes(html).decode("utf-8", errors="replace")
+            html = _decode_html(bytes(html))
         except Exception:
             return ""
     if not html.strip():
@@ -178,13 +226,35 @@ def html_to_text(html: bytes | str | None) -> str:
     return _html_to_text_parsed(html)
 
 
-def _html_to_text_parsed(html: str) -> str:
+def html_to_text_strict(html: bytes | str | None) -> str:
+    """``html_to_text`` that lets a PARSER CRASH surface instead of
+    returning "" (the pipeline path, mirroring ``pdf_to_text_strict``): a
+    page the parser could not walk must quarantine fail-closed, not be
+    recorded as publishable-with-no-spans — '' cannot distinguish "all
+    boilerplate" from "never scanned". The stdlib parser is designed to
+    recover from malformed markup, so in practice this raises ~never; the
+    distinction is the contract, not the frequency."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = _decode_html(bytes(html))
+    if not html.strip():
+        return ""
+    if "<" not in html and "&" not in html:
+        txt = _WS_RUN.sub(" ", html).strip()
+        return txt if len(txt) >= 25 else ""
+    return _html_to_text_parsed(html, strict=True)
+
+
+def _html_to_text_parsed(html: str, strict: bool = False) -> str:
     """The full HTMLParser path (the frozen spec's step 1-6)."""
     parser = _ContentParser()
     try:
         parser.feed(html)
         parser.close()
     except Exception:
+        if strict:
+            raise
         return ""
 
     kept: list[str] = []

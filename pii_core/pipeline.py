@@ -37,7 +37,7 @@ import numpy as np
 from pii_core.chunking import ChunkingConfigError, build_chunks
 from pii_core.decoding import viterbi_bio, viterbi_bio_batch
 from pii_core.detectors import detect_spans
-from pii_core.html_extract import html_to_text
+from pii_core.html_extract import html_to_text_strict
 from pii_core.labels import PII_TYPES, label_maps
 from pii_core.pdf_extract import looks_like_pdf, pdf_to_text_strict
 from pii_core.ner_stub import StubEmitter
@@ -237,21 +237,26 @@ def _mean_logit_matrix(items, n_chunks: int):
     # Single-chunk fast path (the common case for web pages): no overlap
     # to average, so the chunk emissions ARE the global emissions —
     # identical result to the dict accumulation below with count=1
-    # (tests flip _SINGLE_CHUNK_FAST to assert the equivalence).
+    # (tests flip _SINGLE_CHUNK_FAST to assert the equivalence). A chunk
+    # with REPEATED offsets (an emitter/tokenizer adapter emitting
+    # duplicate spans) must fall through to the general path, which dedups
+    # and averages repeated keys — returning them raw here would make the
+    # result depend on whether the document happened to be single-chunk.
+    items = list(items)
     if _SINGLE_CHUNK_FAST and n_chunks == 1:
-        got = list(items)
-        if not got:
+        if not items:
             return None
-        ch, offs, em = got[0]
+        ch, offs, em = items[0]
         keys = [(a + ch.char_start, b + ch.char_start)
                 for a, b in offs if a < b]
         if not keys:
             return None
-        em_global = np.asarray(em, dtype=np.float32)
-        if len(keys) != len(offs):
-            em_global = em_global[
-                [i for i, (a, b) in enumerate(offs) if a < b]]
-        return keys, em_global
+        if len(set(keys)) == len(keys):
+            em_global = np.asarray(em, dtype=np.float32)
+            if len(keys) != len(offs):
+                em_global = em_global[
+                    [i for i, (a, b) in enumerate(offs) if a < b]]
+            return keys, em_global
 
     # Accumulate per-token logits keyed by GLOBAL (start,end) char offsets
     # so overlapping chunks average out (reference infer_pii.py:209-235).
@@ -366,7 +371,17 @@ def extract_document(
     cfg = cfg or ExtractConfig()
     if not isinstance(text, str) or not text:
         return [], True
-    tokenizer = tokenizer or cfg.make_tokenizer()
+    if emitter is None and tokenizer is None:
+        # same resolution as extract_page_batch: a configured model_path
+        # must load the REAL emitter here too — 'emitter or StubEmitter()'
+        # alone would silently run the stub against a checkpoint config
+        # (wrong spans, pages published as public)
+        if cfg.use_ner and cfg.model_path is not None:
+            emitter, tokenizer = cfg.make_emitter_and_tokenizer()
+        else:
+            tokenizer = cfg.make_tokenizer()
+    elif tokenizer is None:
+        tokenizer = cfg.make_tokenizer()
     ner = (_ner_spans(text, cfg, tokenizer, emitter or StubEmitter())
            if cfg.use_ner else [])
     return _finalize_document(text, ner, cfg)
@@ -382,7 +397,10 @@ def _payload_to_text(html: bytes | None, text: str | None) -> str:
             # (UnsupportedPdfError) and the page quarantines fail-closed —
             # the lenient "" would mark an unscanned document publishable
             return pdf_to_text_strict(html)
-        return html_to_text(html)
+        # STRICT twin of the PDF branch: a parser crash (vanishingly
+        # rare with the stdlib parser) quarantines, never publishes an
+        # unscanned page as spans=[] / public
+        return html_to_text_strict(html)
     return text or ""
 
 
@@ -511,6 +529,14 @@ def extract_page_batch(
     if emitter is None and tokenizer is None:
         emitter, tokenizer = cfg.make_emitter_and_tokenizer()
     elif emitter is None:
+        if cfg.model_path is not None:
+            # a caller-supplied tokenizer cannot pair with a checkpoint's
+            # own fast tokenizer — substituting the stub here would
+            # silently run gazetteer spans against a model config
+            raise ValueError(
+                "model_path is set but only a tokenizer was passed; pass "
+                "both emitter and tokenizer (or neither) for the real-"
+                "model path")
         emitter = StubEmitter()
     elif tokenizer is None:
         tokenizer = cfg.make_tokenizer()
@@ -581,6 +607,13 @@ def extract_page_batch(
                 ems = [dec[j][4] for j in sub]
                 try:
                     got = viterbi_bio_batch(ems, labels_list, o_id)
+                    if len(got) != len(ems):
+                        # zip would silently truncate and the preds lookup
+                        # below would then abort the whole task — same
+                        # count-contract guard as the emit_batch paths
+                        raise RuntimeError(
+                            f"viterbi_bio_batch returned {len(got)} paths "
+                            f"for {len(ems)} sequences")
                 except Exception:  # noqa: BLE001 — isolate per page below
                     # a batch-level failure must not poison healthy
                     # neighbors: retry each document through the

@@ -26,7 +26,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from pii_core.decoding import split_label
+from pii_core.decoding import softmax, split_label
 from pii_core.labels import CNPJ_SHAPE, ENTITY_TYPES, _IDISH, sanitize_value
 
 
@@ -66,10 +66,10 @@ def spans_from_bio(
     lg = np.asarray(logits, dtype=np.float32)
 
     def _row_conf(i: int, pid: int) -> float:
-        row = lg[i]
-        z = row - row.max()
-        e = np.exp(z)
-        return float(e[pid] / e.sum())
+        # the ONE canonical softmax (decoding.softmax): bit-stability
+        # claims pin on a single implementation, and indexing its row is
+        # IEEE-identical to the scalar e[pid]/e.sum() form
+        return float(softmax(lg[i])[pid])
 
     out: list[Span] = []
     # open-span state

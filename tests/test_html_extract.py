@@ -245,3 +245,62 @@ def test_fuzz_bytes_garbage_never_raises():
         blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
         out = html_to_text(blob)
         assert isinstance(out, str)
+
+
+def test_boilerplate_classed_void_tag_does_not_swallow_siblings():
+    """Regression: a boilerplate-classed VOID element (<embed>, <source>,
+    <wbr>, ...) must not open a drop that never closes — under the old
+    partial void set everything after an ad <embed> vanished, and a
+    PII-bearing page could publish as public."""
+    html = (b"<body><p>Paragrafo de abertura com conteudo bastante longo "
+            b"aqui.</p><embed class=\"ad-player\">"
+            b"<p>Maria da Silva com CPF 529.982.247-25 nesta linha de "
+            b"texto principal.</p></body>")
+    out = html_to_text(html)
+    assert "529.982.247-25" in out
+    assert "Maria da Silva" in out
+
+
+def test_strict_html_matches_lenient_on_wild_corpus():
+    """html_to_text_strict differs from html_to_text ONLY in surfacing
+    parser crashes (which the stdlib parser ~never produces): on a wild
+    mutated corpus the outputs must be byte-identical."""
+    import random
+
+    from pii_core.html_extract import html_to_text_strict
+    from pii_spark.synth import gen_page
+
+    rng = random.Random(3)
+    muts = ["<", ">", "&#x", "<a href='x", "<embed class=ad>", "</p>",
+            "<script>", "\x00", "<!--", "<![CDATA[", "<br/"]
+    for i in range(400):
+        h = gen_page(i, seed=21)["html"].decode("utf-8", "replace")
+        if i % 2 and h:
+            pos = rng.randrange(len(h) + 1)
+            h = h[:pos] + rng.choice(muts) + h[pos:]
+        assert html_to_text_strict(h) == html_to_text(h)
+
+
+def test_charset_resolution_latin1_and_declared():
+    """Charset step 0: a windows-1252 page must not mojibake accented
+    names (blind utf-8+replace turned 'José' into 'Jos\\ufffd' and the
+    name patterns stopped matching); BOMs and declared meta charsets win;
+    clean utf-8 is untouched."""
+    body = ("<body><p>O senhor José Araújo da Conceição mora aqui e "
+            "assina este documento publico hoje.</p></body>")
+    # undeclared latin-1 bytes -> utf-8 strict fails -> cp1252 fallback
+    assert "José Araújo da Conceição" in html_to_text(body.encode("cp1252"))
+    # declared charset wins even when utf-8 would also decode
+    declared = ('<head><meta charset="iso-8859-1"></head>' + body).encode(
+        "iso-8859-1")
+    assert "José Araújo" in html_to_text(declared)
+    # utf-8 page unchanged; utf-8 BOM honored
+    assert "José Araújo" in html_to_text(body.encode("utf-8"))
+    assert "José Araújo" in html_to_text(
+        b"\xef\xbb\xbf" + body.encode("utf-8"))
+    # unknown declared charset falls through to the utf-8/cp1252 rule
+    junk = ('<meta charset="no-such-enc">' + body).encode("utf-8")
+    assert "José Araújo" in html_to_text(junk)
+    # determinism: same bytes, same text
+    raw = body.encode("cp1252")
+    assert html_to_text(raw) == html_to_text(raw)
