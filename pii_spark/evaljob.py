@@ -19,6 +19,15 @@ from pyspark.sql import functions as F
 from pii_core.labels import PII_TYPES
 
 
+def _pii_flag(spans_col: str) -> F.Column:
+    """Document-level has-PII flag from a spans column — ONE definition so
+    the confusion counts (span_metrics) and the bucket assignment
+    (error_bucket_samples) can never drift apart."""
+    return F.coalesce(
+        F.exists(spans_col, lambda s: s.type.isin(list(PII_TYPES))),
+        F.lit(False))
+
+
 def _key_arr(col: str) -> F.Column:
     """spans -> array<string> of 'start:end:type' strict-match keys."""
     return F.array_distinct(
@@ -34,19 +43,14 @@ def span_metrics(pred: DataFrame, gold: DataFrame) -> dict:
     """Strict span metrics + binary PII confusion between two frames of
     (url, spans). Returns a plain dict (driver-side arithmetic on ONE
     aggregated row, like the reference's final report step)."""
-    pii = list(PII_TYPES)
     j = (
         pred.select("url", F.col("spans").alias("pred_spans"))
         .join(gold.select("url", F.col("spans").alias("gold_spans")), "url", "full")
         .select(
             F.coalesce(_key_arr("pred_spans"), F.array()).alias("pk"),
             F.coalesce(_key_arr("gold_spans"), F.array()).alias("gk"),
-            F.coalesce(
-                F.exists("pred_spans", lambda s: s.type.isin(pii)), F.lit(False)
-            ).alias("pred_pii"),
-            F.coalesce(
-                F.exists("gold_spans", lambda s: s.type.isin(pii)), F.lit(False)
-            ).alias("gold_pii"),
+            _pii_flag("pred_spans").alias("pred_pii"),
+            _pii_flag("gold_spans").alias("gold_pii"),
         )
     )
     row = j.agg(
@@ -66,14 +70,18 @@ def span_metrics(pred: DataFrame, gold: DataFrame) -> dict:
         f = 2 * p * r / (p + r) if p + r else 0.0
         return p, r, f
 
-    sp, sr, sf1 = prf(row.tp, row.pred_pos, row.true_pos)
-    bp, br, bf1 = prf(row.btp, row.btp + row.bfp, row.btp + row.bfn)
-    acc = (row.btp + row.btn) / row.docs if row.docs else 0.0
+    # empty-input agg yields NULL counters; report zeros, not 'None' text
+    tp, pp, ap = int(row.tp or 0), int(row.pred_pos or 0), int(row.true_pos or 0)
+    btp, bfp = int(row.btp or 0), int(row.bfp or 0)
+    bfn, btn = int(row.bfn or 0), int(row.btn or 0)
+    sp, sr, sf1 = prf(tp, pp, ap)
+    bp, br, bf1 = prf(btp, btp + bfp, btp + bfn)
+    acc = (btp + btn) / row.docs if row.docs else 0.0
     return {
         "docs": row.docs,
-        "span_strict": {"tp": row.tp, "pred": row.pred_pos, "gold": row.true_pos,
+        "span_strict": {"tp": tp, "pred": pp, "gold": ap,
                         "precision": sp, "recall": sr, "f1": sf1},
-        "binary_pii": {"tp": row.btp, "fp": row.bfp, "fn": row.bfn, "tn": row.btn,
+        "binary_pii": {"tp": btp, "fp": bfp, "fn": bfn, "tn": btn,
                        "precision": bp, "recall": br, "f1": bf1,
                        "accuracy": acc},
         "p1": bf1,
@@ -140,17 +148,14 @@ def error_bucket_samples(
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
-    pii = list(PII_TYPES)
     j = (
         pred.select("url", F.col(text_col).alias("txt"),
                     F.col("spans").alias("pred_spans"))
         .join(gold.select("url", F.col("spans").alias("gold_spans")),
               "url", "full")
     )
-    pred_pii = F.coalesce(
-        F.exists("pred_spans", lambda s: s.type.isin(pii)), F.lit(False))
-    gold_pii = F.coalesce(
-        F.exists("gold_spans", lambda s: s.type.isin(pii)), F.lit(False))
+    pred_pii = _pii_flag("pred_spans")
+    gold_pii = _pii_flag("gold_spans")
     norm = F.trim(F.regexp_replace(F.coalesce("txt", F.lit("")), r"\s+", " "))
     excerpt = F.when(
         F.length(norm) <= max_chars, norm
@@ -274,11 +279,19 @@ def write_report(pred, gold, path: str, text_col: str | None = None,
 def token_metrics(pred, gold, text_col: str = "extracted_text") -> dict:
     """Token-level metric accumulators (reference A4,
     infer_pii.py:716-724,919-960): tokenize each document with the shared
-    offset tokenizer, label every token by span containment (PII-only view),
-    count tp / predicted-positive / gold-positive per doc in a vectorized
-    pandas UDF, then one tiny sum.
+    offset tokenizer, assign every token its BIO label from span
+    containment (B- for a span's first covered token, I- after), and count
+    a true positive ONLY on exact label equality — the reference requires
+    ``p == y`` (type AND prefix), so a token predicted EMAIL over a gold
+    TELEFONE (or I- where gold says B-) is a miss on both sides, never a
+    tp. Vectorized pandas UDF per doc, one tiny sum.
 
-    pred must carry (url, text_col, spans); gold carries (url, spans).
+    pred must carry (url, text_col, spans) for EVERY gold url — the
+    tokenization needs the text, so a gold doc absent from pred cannot be
+    scored at all and silently skipping it would inflate recall; this
+    raises instead (the extraction job emits a row for every input url,
+    quarantined ones included, so the aligned-frames contract holds by
+    construction there). gold carries (url, spans).
     """
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -288,20 +301,32 @@ def token_metrics(pred, gold, text_col: str = "extracted_text") -> dict:
 
     pii = frozenset(PII_TYPES)
 
+    missing = gold.select("url").join(
+        pred.select("url"), "url", "left_anti").limit(1).count()
+    if missing:
+        raise ValueError(
+            "gold contains urls absent from pred — token metrics need the "
+            "document text from pred for every gold doc; score such docs "
+            "by emitting (possibly empty-span) pred rows for them")
     j = (
         pred.select("url", F.col(text_col).alias("txt"),
                     F.col("spans").alias("ps"))
-        .join(gold.select("url", F.col("spans").alias("gs")), "url", "inner")
+        .join(gold.select("url", F.col("spans").alias("gs")), "url", "left")
     )
 
-    def covered(offs, spans) -> list[bool]:
-        ivs = sorted((s["start"], s["end"]) for s in spans
+    def labels(offs, spans) -> list:
+        """Per-token BIO label ('B-X' / 'I-X') or None, from PII spans."""
+        ivs = sorted((s["start"], s["end"], s["type"]) for s in spans
                      if s["type"] in pii)
-        out, k = [], 0
+        out, k, last_k = [], 0, -1
         for a, b in offs:
             while k < len(ivs) and ivs[k][1] <= a:
                 k += 1
-            out.append(k < len(ivs) and ivs[k][0] < b)
+            if k < len(ivs) and ivs[k][0] < b:
+                out.append(("B-" if k != last_k else "I-") + ivs[k][2])
+                last_k = k
+            else:
+                out.append(None)
         return out
 
     def counts(batches):
@@ -310,12 +335,13 @@ def token_metrics(pred, gold, text_col: str = "extracted_text") -> dict:
             rows = []
             for text, p, g in zip(pdf["txt"], pdf["ps"], pdf["gs"]):
                 offs = tok.encode(text or "")
-                pc = covered(offs, p if p is not None else [])
-                gc = covered(offs, g if g is not None else [])
+                pl = labels(offs, p if p is not None else [])
+                gl = labels(offs, g if g is not None else [])
                 rows.append({
-                    "tp": sum(1 for x, y in zip(pc, gc) if x and y),
-                    "pred_pos": sum(pc),
-                    "gold_pos": sum(gc),
+                    "tp": sum(1 for x, y in zip(pl, gl)
+                              if x is not None and x == y),
+                    "pred_pos": sum(1 for x in pl if x is not None),
+                    "gold_pos": sum(1 for y in gl if y is not None),
                     "n_tok": len(offs),
                 })
             yield pd.DataFrame(
@@ -330,8 +356,11 @@ def token_metrics(pred, gold, text_col: str = "extracted_text") -> dict:
              F.sum("n_tok").alias("n_tok"))
         .collect()[0]
     )
-    p = row.tp / row.pred_pos if row.pred_pos else 0.0
-    r = row.tp / row.gold_pos if row.gold_pos else 0.0
+    tp = int(row.tp or 0)
+    pp, gp = int(row.pred_pos or 0), int(row.gold_pos or 0)
+    p = tp / pp if pp else 0.0
+    r = tp / gp if gp else 0.0
     f1 = 2 * p * r / (p + r) if p + r else 0.0
-    return {"tp": row.tp, "pred_pos": row.pred_pos, "gold_pos": row.gold_pos,
-            "n_tokens": row.n_tok, "precision": p, "recall": r, "f1": f1}
+    return {"tp": tp, "pred_pos": pp, "gold_pos": gp,
+            "n_tokens": int(row.n_tok or 0), "precision": p, "recall": r,
+            "f1": f1}

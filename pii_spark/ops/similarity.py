@@ -384,12 +384,4 @@ def _register_ivf(register) -> None:
             .select("query_id", "vec_id",
                     _qdot(F.col("qe"), F.col("e")).alias("qdot"))
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("qdot").desc(), F.col("vec_id"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w).cast("long"))
-            .where(f"rk <= {_K}")
-            .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    "qdot", "rk")
-            .orderBy("query_id", "rk")
-        )
+        return _rank_topk(scored, _K)

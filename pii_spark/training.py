@@ -34,9 +34,27 @@ from pii_spark.dataset import CHUNKS_SCHEMA
 _HEX_SPACE = 16 ** 4  # split granularity: first 4 md5 hex chars
 
 
-def write_training_jsonl(chunks: DataFrame, out_dir: str) -> None:
+def write_training_jsonl(chunks: DataFrame, out_dir: str,
+                         drop_errors: bool = False) -> None:
     """Training-dataset JSONL sink (one record per chunk — the file HF
-    ``load_dataset("json")`` consumes in the reference)."""
+    ``load_dataset("json")`` consumes in the reference).
+
+    Quarantined rows (``error`` set: the empty placeholder
+    build_chunked_dataset emits for malformed annotations) are REFUSED by
+    default — the reference build hard-errors on them
+    (build_finetune_jsonl.py:132-192), and silently serializing them would
+    train the model on empty-text rows. Pass ``drop_errors=True`` to
+    exclude them explicitly after inspection."""
+    if "error" in chunks.columns:
+        if drop_errors:
+            chunks = chunks.where(F.col("error").isNull())
+        else:
+            bad = chunks.where(F.col("error").isNotNull()).limit(1).count()
+            if bad:
+                raise ValueError(
+                    "chunks contain quarantined rows (error set); inspect "
+                    "them, then re-call with drop_errors=True to exclude "
+                    "them from the training file")
     chunks.write.mode("overwrite").json(out_dir)
 
 
@@ -59,10 +77,14 @@ def train_val_split(
     """O7: seeded deterministic (train, val) split by content hash of the
     key — every row lands in exactly one side, the same side on any cluster
     size or partitioning. Rows with equal keys land on the same side
-    (leak-free for grouped data like chunks of one document)."""
+    (leak-free for grouped data like chunks of one document). A NULL key
+    has no content hash and routes to TRAIN (coalesced predicate) — a bare
+    null predicate would silently drop the row from BOTH sides, violating
+    the exactly-one-side contract."""
     if not 0.0 <= val_fraction < 1.0:
         raise ValueError(f"val_fraction must be in [0, 1): {val_fraction}")
-    is_val = _val_predicate(key_col, val_fraction, seed)
+    is_val = F.coalesce(_val_predicate(key_col, val_fraction, seed),
+                        F.lit(False))
     return df.where(~is_val), df.where(is_val)
 
 
@@ -98,11 +120,18 @@ def micro_f1_counters(
     truncated to the shorter length first: Python's zip() stops at the
     shorter sequence, while Spark's zip_with null-pads — padding would
     inflate true_pos whenever predictions were truncated (e.g. model
-    max-length)."""
-    n = F.least(F.size(F.col(pred_col)), F.size(F.col(label_col)))
+    max-length). NULL arrays coalesce to empty (a failed-inference row
+    predicts nothing, so its gold tokens count as misses); a bare null
+    would either crash slice() (legacy size(null) = -1) or silently drop
+    the row from every counter under ANSI null semantics."""
+    pred_arr = F.coalesce(F.col(pred_col),
+                          F.array().cast("array<int>"))
+    label_arr = F.coalesce(F.col(label_col),
+                           F.array().cast("array<int>"))
+    n = F.least(F.size(pred_arr), F.size(label_arr))
     pairs = F.zip_with(
-        F.slice(F.col(pred_col), F.lit(1), n),
-        F.slice(F.col(label_col), F.lit(1), n),
+        F.slice(pred_arr, F.lit(1), n),
+        F.slice(label_arr, F.lit(1), n),
         lambda p, y: F.struct(p.alias("p"), y.alias("y")),
     )
     live = F.filter(pairs, lambda s: s.y != ignore_id)

@@ -813,18 +813,35 @@ def test_token_metrics_counts(spark):
     schema = ("url string, extracted_text string, spans array<struct<"
               "type:string,start:int,end:int,value:string,conf:double,"
               "n_tokens:int>>")
-    # pred covers tokens 1-2 (chars 4-11); gold covers tokens 2-3 (chars 8-15)
+    # pred covers tokens 1-2 (chars 4-11); gold covers tokens 2-3 (chars
+    # 8-15). The shared token 2 is I-CONTATO under pred but B-CONTATO
+    # under gold — the reference's p == y rule (label id, BIO prefix
+    # included) counts that as a miss on both sides, NOT a tp.
     pred = spark.createDataFrame([("u", text, [mk("CONTATO", 4, 11)])], schema)
     gold = spark.createDataFrame(
         [("u", text, [mk("CONTATO", 8, 15)])], schema).select("url", "spans")
     m = token_metrics(pred, gold)
     assert m["n_tokens"] == 4
-    assert m["pred_pos"] == 2 and m["gold_pos"] == 2 and m["tp"] == 1
-    assert m["precision"] == 0.5 and m["recall"] == 0.5
+    assert m["pred_pos"] == 2 and m["gold_pos"] == 2 and m["tp"] == 0
+    # exact alignment: both spans identical -> B and I both match
+    same = spark.createDataFrame(
+        [("u", text, [mk("CONTATO", 8, 15)])], schema)
+    m_same = token_metrics(same, gold)
+    assert m_same["tp"] == 2 and m_same["precision"] == 1.0
+    # type confusion over the same chars is NOT a tp (reference p == y)
+    confused = spark.createDataFrame(
+        [("u", text, [mk("ENDERECO", 8, 15)])], schema)
+    m_conf = token_metrics(confused, gold)
+    assert m_conf["tp"] == 0 and m_conf["pred_pos"] == 2
     # non-PII spans must not count
     pred2 = spark.createDataFrame([("u", text, [mk("ORG_JURIDICA", 0, 15)])], schema)
     m2 = token_metrics(pred2, gold)
     assert m2["pred_pos"] == 0
+    # a gold url absent from pred cannot be scored — loud, not inflated
+    gold2 = spark.createDataFrame(
+        [("other", text, [mk("CONTATO", 0, 3)])], schema).select("url", "spans")
+    with pytest.raises(ValueError, match="absent from pred"):
+        token_metrics(pred, gold2)
 
 
 def test_sql_views_surface(spark, sf_dir, tiny_results):
