@@ -380,6 +380,17 @@ def extract_document(
             emitter, tokenizer = cfg.make_emitter_and_tokenizer()
         else:
             tokenizer = cfg.make_tokenizer()
+    elif emitter is None:
+        if cfg.use_ner and cfg.model_path is not None:
+            # mirror extract_page_batch's guard: a caller-supplied
+            # tokenizer cannot pair with a checkpoint's own fast
+            # tokenizer — substituting the stub here would silently run
+            # gazetteer spans against a model config (pages published
+            # as public with unscanned names)
+            raise ValueError(
+                "model_path is set but only a tokenizer was passed; pass "
+                "both emitter and tokenizer (or neither) for the real-"
+                "model path")
     elif tokenizer is None:
         tokenizer = cfg.make_tokenizer()
     ner = (_ner_spans(text, cfg, tokenizer, emitter or StubEmitter())

@@ -291,7 +291,11 @@ def token_metrics(pred, gold, text_col: str = "extracted_text") -> dict:
     scored at all and silently skipping it would inflate recall; this
     raises instead (the extraction job emits a row for every input url,
     quarantined ones included, so the aligned-frames contract holds by
-    construction there). gold carries (url, spans).
+    construction there). gold carries (url, spans). The scored universe
+    is the GOLD set (inner join): the reference's loop walks the labeled
+    dataset's rows (infer_pii.py:919-947), so pred urls without a gold
+    row — full-corpus predictions evaluated against a labeled subset —
+    are out of universe, not false positives.
     """
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -311,7 +315,7 @@ def token_metrics(pred, gold, text_col: str = "extracted_text") -> dict:
     j = (
         pred.select("url", F.col(text_col).alias("txt"),
                     F.col("spans").alias("ps"))
-        .join(gold.select("url", F.col("spans").alias("gs")), "url", "left")
+        .join(gold.select("url", F.col("spans").alias("gs")), "url", "inner")
     )
 
     def labels(offs, spans) -> list:

@@ -31,7 +31,12 @@ def redact_expr(text: Column, spans: Column, mode: str = "tag") -> Column:
     if mode not in MODES:
         raise ValueError(f"unknown redaction mode: {mode!r} (use tag|mask)")
     pii_types = list(PII_TYPES)
-    pii = F.filter(spans, lambda s: s["type"].isin(pii_types))
+    # NULL-type spans must REACH the ok-check below, not vanish here: a
+    # bare isin() yields NULL for them and F.filter drops NULL-predicate
+    # elements, which would splice the text with that span UNREDACTED — a
+    # silent fail-open. Keep them in; the ok accumulator refuses them.
+    pii = F.filter(spans,
+                   lambda s: s["type"].isNull() | s["type"].isin(pii_types))
 
     # ONE fused pass: the splice accumulator also carries an `ok` flag
     # (the cursor only moves forward, so sortedness + non-overlap +
@@ -52,7 +57,8 @@ def redact_expr(text: Column, spans: Column, mode: str = "tag") -> Column:
                 F.substring(text, acc["pos"] + 1, s["start"] - acc["pos"]),
                 repl,
             ).alias("acc"),
-            (acc["ok"] & (s["start"] >= acc["pos"])
+            (acc["ok"] & s["type"].isNotNull()
+             & (s["start"] >= acc["pos"])
              & (s["end"] >= s["start"])
              & (s["end"] <= F.length(text))).alias("ok"),
         )
@@ -78,8 +84,9 @@ def redact_expr(text: Column, spans: Column, mode: str = "tag") -> Column:
         .when(spliced.isNotNull(), spliced)
         .otherwise(F.raise_error(F.lit(
             "redact_expr: spans array is not sorted/non-overlapping/"
-            "in-bounds (requires merge_and_resolve output) — refusing a "
-            "mis-splice that could leak PII")))
+            "in-bounds, or a span struct has NULL fields (requires "
+            "merge_and_resolve output) — refusing a mis-splice that "
+            "could leak PII")))
     )
 
 

@@ -66,6 +66,7 @@ def stream_extract(
 def windowed_pii_stream(
     spark: SparkSession,
     input_dir: str,
+    *,
     output_dir: str,
     checkpoint_dir: str,
     window: str = "10 minutes",
@@ -136,6 +137,7 @@ def windowed_pii_stream(
 def host_stats_stream(
     spark: SparkSession,
     input_dir: str,
+    *,
     output_dir: str,
     checkpoint_dir: str,
 ) -> StreamingQuery:

@@ -371,3 +371,22 @@ def test_emitter_failure_quarantines_only_its_page():
         if url != "poisoned":
             assert rec == extract_page(url, html, text, cfg, healthy,
                                        cfg.make_tokenizer()), url
+
+
+def test_per_doc_path_rejects_tokenizer_only_under_model_path():
+    """ADVICE r4 (medium): extract_document with a caller-supplied
+    tokenizer but no emitter must raise when cfg.model_path is set —
+    mirroring extract_page_batch's guard — instead of silently running
+    StubEmitter gazetteer spans against a model config (pages published
+    as public with unscanned names)."""
+    import pytest
+
+    cfg = ExtractConfig(model_path="some/checkpoint", stride=64)
+    tok = cfg.make_tokenizer()
+    with pytest.raises(ValueError, match="only a tokenizer"):
+        extract_document("Maria da Silva mora aqui.", cfg, tokenizer=tok)
+    # tokenizer-only WITHOUT a model path stays valid (stub is the
+    # configured emitter there), and both-supplied stays valid
+    spans, _ = extract_document(
+        "Contato: teste@exemplo.com.br", ExtractConfig(), tokenizer=tok)
+    assert any(s.type == "CONTATO" for s in spans)

@@ -137,3 +137,26 @@ def test_redact_null_text_and_null_spans(spark):
     df2 = spark.createDataFrame([("d", "texto real", None)], schema)
     with pytest.raises(Exception, match="spans is NULL"):
         redact_results(df2, "tag").collect()
+
+
+def test_null_span_field_gets_accurate_diagnostic(spark):
+    """ADVICE r4, upgraded: a span struct with valid offsets but a NULL
+    type was not merely misdiagnosed — the PII `isin` pre-filter yields a
+    NULL predicate, F.filter DROPS the element, and the text spliced with
+    that span UNREDACTED (silent fail-open, worse than the flagged wrong
+    error text). NULL-type spans must now reach the `ok` accumulator and
+    be refused with a message naming NULL struct fields."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pii_spark.ops.redact import redact_expr
+
+    schema = ("t string, spans array<struct<"
+              "type:string,start:int,end:int,value:string,conf:double,"
+              "n_tokens:int>>")
+    df = spark.createDataFrame(
+        [("abcdef", [{"type": None, "start": 1, "end": 3, "value": "bc",
+                      "conf": 1.0, "n_tokens": 1}])], schema)
+    for mode in ("tag", "mask"):
+        with pytest.raises(Exception, match="NULL fields"):
+            df.select(redact_expr(F.col("t"), F.col("spans"), mode)).collect()

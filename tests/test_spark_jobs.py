@@ -842,6 +842,16 @@ def test_token_metrics_counts(spark):
         [("other", text, [mk("CONTATO", 0, 3)])], schema).select("url", "spans")
     with pytest.raises(ValueError, match="absent from pred"):
         token_metrics(pred, gold2)
+    # pred urls OUTSIDE gold are out of universe (inner join), not false
+    # positives: evaluating full-corpus predictions against a labeled
+    # subset must not deflate precision (ADVICE r4)
+    pred_extra = spark.createDataFrame(
+        [("u", text, [mk("CONTATO", 8, 15)]),
+         ("unlabeled", text, [mk("CONTATO", 0, 15)])], schema)
+    m_extra = token_metrics(pred_extra, gold)
+    assert m_extra["tp"] == m_same["tp"]
+    assert m_extra["pred_pos"] == m_same["pred_pos"]
+    assert m_extra["n_tokens"] == m_same["n_tokens"]
 
 
 def test_sql_views_surface(spark, sf_dir, tiny_results):

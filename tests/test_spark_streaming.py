@@ -79,7 +79,7 @@ def test_windowed_watermark_closes_and_drops_late(spark, tmp_path):
 
     # run 1: three docs in window [00:00, 00:10) — window stays OPEN
     write(rows([t, t, t]), "a")
-    q = windowed_pii_stream(spark, in_dir, out_dir, ckpt)
+    q = windowed_pii_stream(spark, in_dir, output_dir=out_dir, checkpoint_dir=ckpt)
     q.awaitTermination(120)
     # watermark has not passed the window yet -> zero rows emitted
     assert spark.read.parquet(out_dir).count() == 0
@@ -88,7 +88,7 @@ def test_windowed_watermark_closes_and_drops_late(spark, tmp_path):
     # behind it) plus two rows two hours later that push the watermark past
     # the old window -> it closes and emits docs=4
     write(rows([late_ok, t2, t2], base=10), "b")
-    q = windowed_pii_stream(spark, in_dir, out_dir, ckpt)
+    q = windowed_pii_stream(spark, in_dir, output_dir=out_dir, checkpoint_dir=ckpt)
     q.awaitTermination(120)
     out = {(r["win_start"], ): r for r in spark.read.parquet(out_dir).collect()}
     assert [(r["win_start"].hour, r["win_start"].minute, r["docs"])
@@ -97,7 +97,7 @@ def test_windowed_watermark_closes_and_drops_late(spark, tmp_path):
     # run 3: a row older than the watermark (01:30) -> dropped; the closed
     # window's emitted row is immutable
     write(rows([too_late], base=20), "c")
-    q = windowed_pii_stream(spark, in_dir, out_dir, ckpt)
+    q = windowed_pii_stream(spark, in_dir, output_dir=out_dir, checkpoint_dir=ckpt)
     q.awaitTermination(120)
     final = spark.read.parquet(out_dir).collect()
     assert len(final) == 1 and final[0]["docs"] == 4
@@ -125,7 +125,7 @@ def test_stateful_host_stats_accumulate_across_restarts(spark, tmp_path):
 
     first = pages_df(spark, 30, seed=55)
     first.write.mode("append").parquet(in_dir)
-    q = host_stats_stream(spark, in_dir, out, ckpt)
+    q = host_stats_stream(spark, in_dir, output_dir=out, checkpoint_dir=ckpt)
     q.awaitTermination(180)
     t1 = _latest_per_host(spark, out)
     assert sum(r["docs"] for r in t1.values()) == 30
@@ -137,9 +137,30 @@ def test_stateful_host_stats_accumulate_across_restarts(spark, tmp_path):
     n_more = more.count()
     assert n_more > 0
     more.write.mode("append").parquet(in_dir)
-    q2 = host_stats_stream(spark, in_dir, out, ckpt)
+    q2 = host_stats_stream(spark, in_dir, output_dir=out, checkpoint_dir=ckpt)
     q2.awaitTermination(180)
     t2 = _latest_per_host(spark, out)
     assert sum(r["docs"] for r in t2.values()) == 30 + n_more
     for host, r in t1.items():
         assert t2[host]["docs"] >= r["docs"]
+
+
+def test_stream_dirs_are_keyword_only():
+    """ADVICE r4: output_dir/checkpoint_dir are both plain strings, so a
+    positional caller who swaps them writes checkpoints into the output
+    dir with no error. Keyword-only params make stale positional call
+    sites fail loudly instead of mis-wiring directories."""
+    import inspect
+
+    import pytest
+
+    from pii_spark.streaming import host_stats_stream, windowed_pii_stream
+
+    for fn in (windowed_pii_stream, host_stats_stream):
+        sig = inspect.signature(fn)
+        for name in ("output_dir", "checkpoint_dir"):
+            assert sig.parameters[name].kind is inspect.Parameter.KEYWORD_ONLY
+    with pytest.raises(TypeError):
+        windowed_pii_stream(None, "in", "out", "ckpt")
+    with pytest.raises(TypeError):
+        host_stats_stream(None, "in", "out", "ckpt")
