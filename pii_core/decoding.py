@@ -235,11 +235,24 @@ def viterbi_bio_batch(
     # 'left' on the ascending negation counts STRICTLY greater — a length-ti
     # sequence's last step is ti-1, so it must be retired at step ti
     n_act_at = np.searchsorted(-lens, -np.arange(t_max), side="left")
+    # TIME-MAJOR re-pack: rows ordered (step, seq) so each step's active
+    # emissions are ONE contiguous view — replaces a fancy-index gather
+    # (allocation + index arithmetic) on the hottest line of the loop.
+    row_start = np.concatenate(([0], np.cumsum(n_act_at)))
+    perm = np.concatenate(
+        [offs[:n_act_at[ti]] + ti for ti in range(t_max)])
+    packed_tm = packed[perm]
 
     pb_idx, pi_idx = (i_prev[:, 0], i_prev[:, 1]) if len(i_cols) else (
         np.empty(0, np.int64), np.empty(0, np.int64))
-    score = packed[offs] + start.astype(np.float64)  # (B,C) step-0 scores
+    # every column is free or I-X in a well-formed label space: the
+    # malformed-column fill (gbest + NEG, dense-DP semantics) is only
+    # needed when some column is neither
+    has_malformed = len(free_cols) + len(i_cols) < c
+    score = packed_tm[:b] + start.astype(np.float64)  # (B,C) step-0 scores
     final = np.empty((b, c), dtype=np.float64)
+    nxt_buf = np.empty((b, c), dtype=np.float64)
+    icol_buf = np.empty((b, len(i_cols)), dtype=np.float64)
     back: list[np.ndarray | None] = [None]
     n_act = b
     for ti in range(1, t_max):
@@ -252,26 +265,31 @@ def viterbi_bio_batch(
         g = s.argmax(axis=1)
         bk = np.empty((n_act, c), dtype=np.int32)
         bk[:] = g[:, None]
-        # malformed labels keep gbest + NEG (dense-DP semantics, see above)
-        nxt = np.empty((n_act, c), dtype=np.float64)
-        nxt[:] = gbest[:, None] + neg
+        nxt = nxt_buf[:n_act]
+        if has_malformed:
+            # malformed labels keep gbest + NEG (dense-DP semantics)
+            nxt[:] = gbest[:, None] + neg
         nxt[:, free_cols] = gbest[:, None]
         if len(i_cols):
-            pb = s[:, pb_idx]
+            pb = icol_buf[:n_act]
+            np.take(s, pb_idx, axis=1, out=pb)
             pi = s[:, pi_idx]
             take = pi > pb  # strict: ties keep the B predecessor
-            nxt[:, i_cols] = np.where(take, pi, pb)
+            np.copyto(pb, pi, where=take)
+            nxt[:, i_cols] = pb
             bk[:, i_cols] = np.where(take, pi_idx, pb_idx)
         back.append(bk)
-        score[:n_act] = packed[offs[:n_act] + ti] + nxt
+        rs = row_start[ti]
+        np.add(packed_tm[rs:rs + n_act], nxt, out=score[:n_act])
     final[:n_act] = score[:n_act]
 
     paths = np.zeros((b, t_max), dtype=np.int32)
-    paths[np.arange(b), lens - 1] = final.argmax(axis=1)
+    rows = np.arange(b)
+    paths[rows, lens - 1] = final.argmax(axis=1)
     for ti in range(t_max - 1, 0, -1):
         na = int(n_act_at[ti])
         bk = back[ti]
-        paths[:na, ti - 1] = bk[np.arange(na), paths[:na, ti]]
+        paths[:na, ti - 1] = bk[rows[:na], paths[:na, ti]]
     for k, i in enumerate(order):
         out[i] = paths[k, :lens[k]].tolist()
     return out  # type: ignore[return-value]

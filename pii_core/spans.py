@@ -42,6 +42,31 @@ def _sort_key(s: Span) -> tuple[int, int, str]:
     return (s.start, s.end, s.type)
 
 
+def _bio_id_tables(id2label_items: tuple[tuple[int, str], ...]):
+    """Dense lookup tables over label ids for the vectorized BIO scan:
+    (size, is_entity, is_b, type_code, types). Ids outside [0, size) or
+    unmapped behave like ("O", None) — exactly ``meta.get``'s default."""
+    meta = {int(pid): split_label(lab) for pid, lab in id2label_items}
+    size = max(meta) + 1 if meta else 0
+    is_entity = np.zeros(size, dtype=bool)
+    is_b = np.zeros(size, dtype=bool)
+    type_code = np.full(size, -1, dtype=np.int32)
+    types: list[str] = []
+    t_idx: dict[str, int] = {}
+    for pid, (pre, typ) in meta.items():
+        if typ is None or pid < 0:
+            continue
+        is_entity[pid] = True
+        is_b[pid] = pre == "B"
+        type_code[pid] = t_idx.setdefault(typ, len(t_idx))
+        if type_code[pid] == len(types):
+            types.append(typ)
+    return size, is_entity, is_b, type_code, types
+
+
+_BIO_TABLE_CACHE: dict = {}
+
+
 def spans_from_bio(
     offsets: list[tuple[int, int]],
     pred_ids: list[int],
@@ -49,7 +74,84 @@ def spans_from_bio(
     id2label: dict[int, str],
     conf_agg: str = "mean",
 ) -> list[Span]:
-    """Token predictions + logits → sorted scored char spans."""
+    """Token predictions + logits → sorted scored char spans.
+
+    Vectorized: the original per-token state machine (kept below as
+    ``_spans_from_bio_py``, the differential oracle) touches every token in
+    Python, but web text is overwhelmingly O tokens. Here entity tokens are
+    isolated with NumPy table lookups, span boundaries derived from the
+    local rule the state machine reduces to (a valid token opens a span iff
+    its prefix is B, or the previous position is not a valid token of the
+    same type — ``run_type``/``o_type`` coincide inside a run), and softmax
+    runs once over just the entity rows. Per-span conf aggregation stays in
+    Python float arithmetic (left-to-right ``sum``) so results are
+    bit-identical — pinned by a differential property test."""
+    if len(offsets) != len(pred_ids):
+        raise ValueError(f"offsets/pred_ids mismatch: {len(offsets)} vs {len(pred_ids)}")
+    logits = np.asarray(logits)
+    if logits.ndim != 2 or logits.shape[0] != len(pred_ids):
+        raise ValueError(f"logits shape {logits.shape} != ({len(pred_ids)}, C)")
+    agg = str(conf_agg).strip().lower()
+    if agg not in ("mean", "min"):
+        raise ValueError(f"conf_agg must be mean|min, got {conf_agg!r}")
+    if not pred_ids:
+        return []
+
+    key = tuple(sorted(id2label.items()))
+    tables = _BIO_TABLE_CACHE.get(key)
+    if tables is None:
+        tables = _BIO_TABLE_CACHE[key] = _bio_id_tables(key)
+    size, is_entity, is_b, type_code, types = tables
+
+    pids = np.asarray(pred_ids, dtype=np.int64)
+    offs = np.asarray(offsets, dtype=np.int64)
+    safe = (pids >= 0) & (pids < size)
+    pids_safe = np.where(safe, pids, 0)
+    valid = safe & is_entity[pids_safe] & ~((offs[:, 0] == 0)
+                                            & (offs[:, 1] == 0))
+    idx = np.flatnonzero(valid)
+    if idx.size == 0:
+        return []
+
+    vpids = pids[idx]
+    tc = type_code[vpids]
+    # a span opens at k iff B-prefix, or the previous POSITION is not a
+    # valid token of the same type (run_type reset / type change)
+    opens = is_b[vpids].copy()
+    opens[0] = True
+    brk = (idx[1:] != idx[:-1] + 1) | (tc[1:] != tc[:-1])
+    opens[1:] |= brk
+
+    # batch softmax over entity rows only; row-of-batch == softmax(row)
+    # bit-identically (same elementwise ops; last-axis reduction uses the
+    # same per-line pairwise sum) — pinned by the differential test
+    lg32 = logits if logits.dtype == np.float32 else logits.astype(np.float32)
+    probs = softmax(np.ascontiguousarray(lg32[idx]))
+    confs = probs[np.arange(idx.size), vpids].tolist()
+
+    bounds = np.flatnonzero(opens).tolist() + [idx.size]
+    a_v = offs[idx, 0].tolist()
+    b_v = offs[idx, 1].tolist()
+    out: list[Span] = []
+    for gi in range(len(bounds) - 1):
+        lo, hi = bounds[gi], bounds[gi + 1]
+        cs = confs[lo:hi]
+        conf = min(cs) if agg == "min" else sum(cs) / len(cs)
+        out.append(Span(a_v[lo], max(b_v[lo:hi]), types[tc[lo]],
+                        float(conf), hi - lo))
+    out.sort(key=_sort_key)
+    return out
+
+
+def _spans_from_bio_py(
+    offsets: list[tuple[int, int]],
+    pred_ids: list[int],
+    logits: np.ndarray,
+    id2label: dict[int, str],
+    conf_agg: str = "mean",
+) -> list[Span]:
+    """Original per-token state machine — the differential ORACLE for
+    ``spans_from_bio`` (reference spans.py:138-245 semantics)."""
     if len(offsets) != len(pred_ids):
         raise ValueError(f"offsets/pred_ids mismatch: {len(offsets)} vs {len(pred_ids)}")
     if logits.ndim != 2 or logits.shape[0] != len(pred_ids):

@@ -304,3 +304,122 @@ def test_charset_resolution_latin1_and_declared():
     # determinism: same bytes, same text
     raw = body.encode("cp1252")
     assert html_to_text(raw) == html_to_text(raw)
+
+
+# ---------------------------------------------------------------------------
+# Scanner vs HTMLParser-oracle differential suite (the fast single-pass
+# scanner replaced the HTMLParser callbacks on the production path; the
+# _ContentParser path IS the frozen spec and stays as the oracle).
+# ---------------------------------------------------------------------------
+
+def _scan_out(h):
+    from pii_core.html_extract import _keep_blocks, _scan_blocks
+    try:
+        return _keep_blocks(_scan_blocks(h))
+    except Exception as e:  # noqa: BLE001 — exception parity is asserted too
+        return ("RAISE", type(e).__name__, str(e))
+
+
+def _oracle_out(h):
+    from pii_core.html_extract import _ContentParser, _keep_blocks
+    p = _ContentParser()
+    try:
+        p.feed(h)
+        p.close()
+    except Exception as e:  # noqa: BLE001
+        return ("RAISE", type(e).__name__, str(e))
+    return _keep_blocks([(b.tag, b.parts, b.link_chars) for b in p.blocks])
+
+
+_ADVERSARIAL = [
+    # CDATA content mode, malformed/unterminated script & style
+    "<script>var a = '<div>' + 1 < 2;</script><p>keep this paragraph of text here</p>",
+    "<SCRIPT >x</SCRIPT><p>paragraph with more than twenty five chars</p>",
+    "<script>no close tag at all <p>swallowed paragraph text entirely here",
+    "<style>p{}</ style ><p>kept paragraph needs twenty five characters</p>",
+    "<style>a</styleX><p>inside style still</p></style><p>outside style paragraph text ok</p>",
+    # comments, PIs, declarations, marked sections (incl. raising forms)
+    "<!-- comment <p>hidden</p> --><p>visible paragraph over twenty five chars</p>",
+    "<!-- unterminated comment <p>text here that is over twenty five</p>",
+    "<!--> weird tiny comment --><p>paragraph following a weird comment here</p>",
+    "<!doctype html><p>paragraph after doctype with enough characters</p>",
+    "<![CDATA[ raw <p>block</p> ]]><p>after marked section, enough characters</p>",
+    "<![if !IE]><p>conditional paragraph long enough to keep here</p><![endif]>",
+    "<![bogus section]><p>raises like the stdlib AssertionError</p>",
+    "<![unterminated cdata <p>trailing text that is long enough here</p>",
+    "<![", "<![x",
+    "<?php echo '<p>x</p>'; ?><p>after processing instruction enough chars</p>",
+    # entity and stray-angle edge cases
+    "<p>a < b and c > d in a sentence long enough to keep around</p>",
+    "<p>entity soup &amp; &lt;tag&gt; &#65; &#x42; &notanentity; &amp more text</p>",
+    "<p>trailing amp at the very end of the document text here &xyz",
+    "<p>ends with a lone angle bracket and enough text to keep <",
+    "<p>text<", "<p>text &", "<p>text &a", "<",
+    # attribute / boiler-hint edges (fast-path subset boundaries)
+    "<div title='a class=menu b'>value contains class text but kept, long enough</div>",
+    "<div data-class='menu'>data-class is not class so this text is kept fine</div>",
+    "<div CLASS='MENU'>upper</div><p>paragraph definitely over twenty five chars</p>",
+    "<div a='1'b='2' class='ad'>adjacent attrs drop this boiler text</div><p>kept paragraph long enough</p>",
+    "<div a==1 class='menu'>double equals slow path dropped</div><p>kept paragraph long enough</p>",
+    "<div class=>empty bare value</div><p>kept paragraph that is long enough ok</p>",
+    "<div class='x &#45;menu'>entity in class dropped</div><p>kept paragraph long enough ok</p>",
+    "<a href=/caminho/pagina>bare slash value link text</a><p>kept paragraph long enough ok</p>",
+    "<div a=1/>slash-eaten bare value start tag, text long enough to keep</div>",
+    "<div a= />sp eq slash, this paragraph text is long enough to keep</div>",
+    "<div\nclass='menu'>newline before class dropped</div><p>kept paragraph long enough</p>",
+    "<div class\n=\n'menu'>newlines around equals dropped</div><p>kept paragraph long enough</p>",
+    "<p id=sidebar>unquoted boiler id dropped</p><p>kept paragraph long enough ok</p>",
+    "<DIV CLASS=MENU>all caps unquoted dropped</DIV><p>kept paragraph long enough</p>",
+    # malformed start/end tags
+    "<p attr>malformed = <p =>< p><p attr='unterminated>text that is long enough to keep</p>",
+    "<div a='1'/x>odd slash<p>paragraph long enough to keep here ok</p>",
+    "</>empty end tag<p>paragraph that is long enough to keep here</p>",
+    "</ div>space end tag<p>paragraph that is long enough to keep ok</p>",
+    "</div attr>end tag with attr<p>paragraph long enough to keep here</p>",
+    "</div unterminated <p>does this paragraph survive the bogosity here</p>",
+    "<div unterminated start tag at eof", "<div a='b", "<div/", "<div ",
+]
+
+
+def test_scanner_matches_oracle_on_adversarial_markup():
+    for h in _ADVERSARIAL:
+        assert _scan_out(h) == _oracle_out(h), h
+
+
+def test_scanner_matches_oracle_on_synth_corpus():
+    from pii_core.html_extract import _decode_html
+    from pii_spark.synth import gen_pages
+
+    n = 0
+    for p in gen_pages(600, seed=913):
+        if p["html"]:
+            h = _decode_html(p["html"])
+            assert _scan_out(h) == _oracle_out(h), p["url"]
+            n += 1
+    assert n > 500
+
+
+def test_scanner_matches_oracle_on_token_soup():
+    import random
+
+    rng = random.Random(20260817)
+    tokens = ["<p>", "</p>", "<div class='menu'>", "<div>", "</div>",
+              "<a href='x'>", "</a>", "<script>", "</script>", "<style>",
+              "</style>", "<!--", "-->", "<![CDATA[", "]]>", "<br>", "<br/>",
+              "<li>", "<h1>", "</h1>", "&amp;", "&#65;", "&bogus;", "&", "<",
+              ">", "texto com conteudo suficiente ", "palavra ", " ", "\n",
+              "<!doctype html>", "<?pi?>", "<div", "class", "='ad'", ">",
+              "</", "p>", "<td>", "<table>", "</table>", "<input>",
+              "<embed class='ad'>", "<X>", "</X>", '"', "'", "=", "/>",
+              "<p", " id=footer", "]>", "<![if x]>", "<![endif]>", "<![",
+              "word&#x20;mais ", "<div title='a class=menu'>",
+              "<DIV CLASS=AD>", "<p id=x>", "a=1", "/", "<div a=1/>",
+              "<a href=/x/y>", "<div a= />"]
+    alph = "<>/!?&;#abAB='\"[] \n-xX.1"
+    for trial in range(1500):
+        h = "".join(rng.choice(tokens)
+                    for _ in range(rng.randrange(1, 40)))
+        assert _scan_out(h) == _oracle_out(h), h
+        h2 = "".join(rng.choice(alph)
+                     for _ in range(rng.randrange(1, 120)))
+        assert _scan_out(h2) == _oracle_out(h2), h2

@@ -177,3 +177,39 @@ def test_gold_spans_validation_errors():
         gold_spans("abc", [{"type": "NOPE", "value": "abc"}])
     with pytest.raises(ValueError):
         gold_spans("abc", [{"type": "CONTATO", "value": "abc", "x": 1}])
+
+
+def test_spans_from_bio_vectorized_matches_state_machine():
+    """The NumPy-vectorized spans_from_bio must be BIT-identical (confs
+    included) to the original per-token state machine (_spans_from_bio_py,
+    the reference spans.py:138-245 oracle) — across tie-heavy logits,
+    out-of-range/negative ids, malformed labels, (0,0) offsets, zero-length
+    offsets, and both conf aggregations."""
+    import random
+
+    import numpy as np
+
+    from pii_core.spans import _spans_from_bio_py, spans_from_bio
+
+    rng = random.Random(7)
+    labels = ["O", "B-NOME_PESSOA", "I-NOME_PESSOA", "B-CONTATO",
+              "I-CONTATO", "B-ENDERECO", "I-ENDERECO", "BAD", "I-", "B-X"]
+    id2label = {i: lab for i, lab in enumerate(labels)}
+    npr = np.random.RandomState(3)
+    for _trial in range(800):
+        t = rng.randrange(0, 40)
+        offsets, pos = [], 0
+        for _ in range(t):
+            if rng.random() < 0.1:
+                offsets.append((0, 0))
+            else:
+                ln = rng.randrange(0, 6)
+                offsets.append((pos, pos + ln))
+                pos += ln + 1
+        pred_ids = [rng.randrange(-1, len(labels) + 2) for _ in range(t)]
+        logits = (npr.randn(t, len(labels))
+                  * rng.choice([0.1, 1, 10, 100])).astype(np.float32)
+        agg = rng.choice(["mean", "min"])
+        assert (spans_from_bio(offsets, pred_ids, logits, id2label, agg)
+                == _spans_from_bio_py(offsets, pred_ids, logits, id2label,
+                                      agg))
