@@ -82,6 +82,14 @@ class ExtractConfig:
     # neighbors share its batch (the partition-invariance contract). False
     # trades bitwise run-to-run identity for pad-to-longest throughput.
     pad_to_max: bool = True
+    # Giant-page straggler bound: a payload larger than this quarantines
+    # fail-closed (DocTooLargeError, error row, never public) BEFORE any
+    # parse work. A 100-TB crawl contains multi-MB pathological pages, and
+    # because one document's chunks must colocate (fp32 accumulation
+    # order), a single such page can pin a task for minutes while its
+    # partition's siblings wait. Units: bytes for binary payloads,
+    # characters for pre-extracted text payloads. None disables the cap.
+    max_doc_bytes: int | None = 10_000_000
 
     def __post_init__(self) -> None:
         # Eager validation: a bad config must fail at CONSTRUCTION (driver /
@@ -124,6 +132,10 @@ class ExtractConfig:
             raise ValueError(f"unknown aggregate mode: {self.aggregate!r}")
         if self.conf_agg not in ("mean", "min"):
             raise ValueError(f"unknown conf_agg: {self.conf_agg!r}")
+        if self.max_doc_bytes is not None and self.max_doc_bytes < 1:
+            raise ValueError(
+                f"max_doc_bytes must be >= 1 or None, got "
+                f"{self.max_doc_bytes}")
 
     def make_tokenizer(self) -> WordTokenizer:
         return WordTokenizer(piece_len=self.tokenizer_piece_len)
@@ -398,10 +410,26 @@ def extract_document(
     return _finalize_document(text, ner, cfg)
 
 
-def _payload_to_text(html: bytes | None, text: str | None) -> str:
+class DocTooLargeError(ValueError):
+    """Payload exceeds ``ExtractConfig.max_doc_bytes`` — the page
+    quarantines fail-closed before any parse work (straggler bound)."""
+
+
+def _payload_to_text(html: bytes | None, text: str | None,
+                     max_doc_bytes: int | None = None) -> str:
     """Payload sniff: ``%PDF-`` magic routes to the PDF layout parser,
     anything else to the HTML main-content extractor (the north rule's
-    "HTML boilerplate strip, PDF/layout parse" stage)."""
+    "HTML boilerplate strip, PDF/layout parse" stage). A payload above
+    ``max_doc_bytes`` raises DocTooLargeError BEFORE parsing: one
+    pathological multi-MB page must not pin a whole task (its chunks
+    colocate for fp32 determinism, so it cannot be split across workers)."""
+    if max_doc_bytes is not None:
+        size = len(html) if html else len(text or "")
+        if size > max_doc_bytes:
+            raise DocTooLargeError(
+                f"payload of {size} bytes exceeds max_doc_bytes="
+                f"{max_doc_bytes}; quarantined fail-closed (raise the cap "
+                "or pre-split the document to process it)")
     if html:
         if looks_like_pdf(html):
             # STRICT: a PDF whose text coverage cannot be asserted raises
@@ -448,7 +476,8 @@ def extract_page(
     """Full per-page record: payload (preferred) or pre-extracted text →
     result. See ``_payload_to_text`` for the sniff and ``_page_record`` for
     the output shape."""
-    extracted = _payload_to_text(html, text)
+    cfg = cfg or ExtractConfig()
+    extracted = _payload_to_text(html, text, cfg.max_doc_bytes)
     spans, public = extract_document(extracted, cfg, emitter, tokenizer)
     return _page_record(url, extracted, spans, public)
 
@@ -688,7 +717,8 @@ def extract_page_batch(
     for url, html, text in records:
         d = [url, None, 0, None, 0, []]
         try:
-            d[1] = extracted = _payload_to_text(html, text)
+            d[1] = extracted = _payload_to_text(html, text,
+                                                cfg.max_doc_bytes)
             if cfg.use_ner and extracted:
                 chunks = build_chunks(
                     extracted, tokenizer,

@@ -229,6 +229,32 @@ def gen_pages(n: int, seed: int = 42, pii_rate: float = 0.45,
         yield gen_page(i, seed=seed, pii_rate=pii_rate, skew=skew)
 
 
+def gen_giant_page(i: int = 0, seed: int = 42,
+                   target_bytes: int = 12_000_000) -> dict:
+    """A deterministic pathological multi-MB page (giant-page straggler
+    fixture): a real page whose body paragraphs are repeated until the
+    encoded HTML exceeds ``target_bytes``. Shape matches gen_page so it can
+    be unioned into any pages frame."""
+    rng = random.Random((seed << 24) ^ (0x61A47 + i))
+    title = _plain_sentence(rng, 4).rstrip(".")
+    paras = _paragraphs(rng, 8, 0.45)
+    body_bytes = max(1, len("\n".join(f"<p>{p}</p>"
+                                      for p in paras).encode("utf-8")))
+    reps = max(1, target_bytes // body_bytes + 1)
+    html = _page_html(rng, paras * reps, title)
+    while len(html.encode("utf-8")) <= target_bytes:
+        reps *= 2
+        html = _page_html(rng, paras * reps, title)
+    ts = _EPOCH + _dt.timedelta(seconds=(i * 37) % 31_536_000)
+    return {
+        "url": f"https://giant-{i:02d}.example.gov.br/doc/{seed}/giant",
+        "warc_ts": ts,
+        "html": html.encode("utf-8"),
+        "text": None,
+        "lang": _LANGS[i % len(_LANGS)],
+    }
+
+
 def _gen_df(spark, gen, n: int, seed: int,
             num_partitions: int | None):
     """Shared scaffolding for the deterministic corpora: parallelize

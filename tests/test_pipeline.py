@@ -390,3 +390,42 @@ def test_per_doc_path_rejects_tokenizer_only_under_model_path():
     spans, _ = extract_document(
         "Contato: teste@exemplo.com.br", ExtractConfig(), tokenizer=tok)
     assert any(s.type == "CONTATO" for s in spans)
+
+
+def test_giant_page_cap_quarantines_before_parse():
+    """Straggler bound: a payload above max_doc_bytes raises
+    DocTooLargeError BEFORE any parse work (per-doc path) and quarantines
+    ONLY its own page on the batch path — one multi-MB pathological page
+    (its chunks colocate for fp32 determinism, so it cannot be split) must
+    not pin a task. Pages under the cap are untouched; None disables."""
+    import pytest
+
+    from pii_core.pipeline import DocTooLargeError, extract_page_batch
+    from pii_spark.synth import gen_giant_page, gen_page
+
+    giant = gen_giant_page(0, seed=5)
+    assert len(giant["html"]) > 10_000_000
+    cfg = ExtractConfig()  # default cap 10 MB
+    with pytest.raises(DocTooLargeError, match="max_doc_bytes"):
+        extract_page(giant["url"], giant["html"], None, cfg)
+
+    normal = [gen_page(i, seed=5) for i in range(3)]
+    recs = extract_page_batch(
+        [(p["url"], p["html"], p["text"]) for p in normal]
+        + [(giant["url"], giant["html"], None)], cfg)
+    assert isinstance(recs[3], DocTooLargeError)
+    for p, rec in zip(normal, recs[:3]):
+        assert rec == extract_page(p["url"], p["html"], p["text"], cfg)
+
+    # cap on pre-extracted text payloads (chars), and None disables
+    small_cfg = ExtractConfig(max_doc_bytes=100)
+    with pytest.raises(DocTooLargeError):
+        extract_page("u", None, "x" * 101, small_cfg)
+    no_cap = ExtractConfig(max_doc_bytes=None)
+    rec = extract_page("u", None, "Texto de tamanho normal aqui mesmo.",
+                       ExtractConfig(max_doc_bytes=10_000))
+    assert rec["url"] == "u"
+    assert extract_page("u", None, "x" * 101, no_cap)["extracted_text"]
+
+    with pytest.raises(ValueError, match="max_doc_bytes"):
+        ExtractConfig(max_doc_bytes=0)

@@ -190,3 +190,52 @@ def test_partition_heuristic_bounds(spark, tmp_path, monkeypatch):
 
     ex.extract_pages(pages_df(spark, 10, seed=1))
     assert captured["n"] == 4 * par  # unknown-size relation -> ceiling
+
+
+def test_giant_page_quarantined_in_spark_path(spark):
+    """The giant-page straggler bound end-to-end: a >10 MB page lands as a
+    fail-closed error row (DocTooLargeError named in `error`, never
+    public), neighbors in the same partition are untouched, and the cap is
+    config-off-able (max_doc_bytes=None processes the same page)."""
+    from pii_core.pipeline import ExtractConfig
+    from pii_spark.extract import extract_pages
+    from pii_spark.schemas import PAGES_SCHEMA
+    from pii_spark.synth import gen_giant_page, gen_page
+
+    rows = [tuple(gen_page(i, seed=11).values()) for i in range(4)]
+    giant = gen_giant_page(0, seed=11)
+    rows.append(tuple(giant.values()))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    got = {r["url"]: r for r in extract_pages(df, num_partitions=2).collect()}
+    bad = got[giant["url"]]
+    assert bad["error"] is not None and "DocTooLargeError" in bad["error"]
+    assert bad["should_be_public"] is False and bad["spans"] == []
+    assert sum(1 for r in got.values() if r["error"] is None) == 4
+
+    uncapped = extract_pages(df, ExtractConfig(max_doc_bytes=None),
+                             num_partitions=2)
+    ok = {r["url"]: r for r in uncapped.collect()}[giant["url"]]
+    assert ok["error"] is None and len(ok["extracted_text"]) > 1_000_000
+
+
+def test_partition_fallback_is_logged(spark, tmp_path, caplog):
+    """When the source gives no usable size estimate and the 4x ceiling is
+    taken blind, extract_pages says so (INFO log) — a mis-estimating source
+    at cluster scale must be observable (VERDICT r4 #6). File sources with
+    real stats stay quiet."""
+    import logging
+
+    from pii_spark import extract as ex
+    from pii_spark.synth import pages_df
+
+    with caplog.at_level(logging.INFO, logger="pii_spark.extract"):
+        ex.extract_pages(pages_df(spark, 10, seed=1))
+    assert any("no size estimate" in r.message for r in caplog.records)
+
+    caplog.clear()
+    small = str(tmp_path / "sized_pages")
+    pages_df(spark, 10, seed=1).write.parquet(small)
+    with caplog.at_level(logging.INFO, logger="pii_spark.extract"):
+        ex.extract_pages(spark.read.parquet(small))
+    assert not any("no size estimate" in r.message for r in caplog.records)
