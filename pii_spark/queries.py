@@ -373,6 +373,98 @@ def excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", exc.alias("excerpt")).orderBy("doc_id")
 
 
+# Deterministic redaction fixture, derivable in both dialects: each doc is
+# p1 || v1 || p2 || v2 || p3 with spans over v1 (DOC_PESSOAL) / v2 (CONTATO)
+# plus a non-PII ORG_JURIDICA span over p3's first chars on m=0 rows. The
+# m-residues cover the splice edges: span at offset 0 (m=1 starts with v1),
+# adjacent spans (m=2 has empty p2), span at end-of-text (m=1 ends with
+# v2), and zero-span documents (m=3).
+_REDACT_PARTS = """
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'Registro publico ' WHEN 1 THEN ''
+         WHEN 2 THEN 'Doc ' ELSE 'Texto sem dados pessoais aqui.' END AS p1,
+    CASE WHEN doc_id % 4 = 3 THEN '' ELSE {cpf} END AS v1,
+    CASE doc_id % 4 WHEN 0 THEN ' contato ' WHEN 1 THEN ' e '
+         ELSE '' END AS p2,
+    CASE WHEN doc_id % 4 = 3 THEN ''
+         ELSE 'user' || CAST(doc_id AS {strtype}) || '@exemplo.gov.br'
+    END AS v2,
+    CASE doc_id % 4 WHEN 0 THEN ' orgao fim.' WHEN 2 THEN ' final'
+         ELSE '' END AS p3
+  FROM documents WHERE doc_id < 200
+"""
+
+
+@register(
+    "redact",
+    oracle=f"""
+    SELECT doc_id,
+           p1 || CASE WHEN length(v1) > 0 THEN '[DOC_PESSOAL]' ELSE '' END
+              || p2
+              || CASE WHEN length(v2) > 0 THEN '[CONTATO]' ELSE '' END
+              || p3 AS tag_redacted,
+           p1 || repeat('*', length(v1)) || p2 || repeat('*', length(v2))
+              || p3 AS mask_redacted
+    FROM ({_REDACT_PARTS.format(cpf=sf.cpf_valid_sql(), strtype="VARCHAR")}) t
+    ORDER BY doc_id
+    """,
+)
+def redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (ops/redact.redact_expr — the PRODUCTION fused
+    aggregate-HOF splice, both tag and mask modes) against an oracle that
+    re-derives the splice independently from the text's parts. The spans
+    array is built exactly as the pipeline would hand it over (sorted,
+    non-overlapping, typed structs); the non-PII ORG_JURIDICA span must
+    pass through unredacted, zero-length spans are filtered out, and the
+    zero-span rows must come back verbatim."""
+    from pii_spark.ops.redact import redact_expr  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200").selectExpr(
+        "doc_id",
+        f"CASE doc_id % 4 WHEN 0 THEN 'Registro publico ' WHEN 1 THEN '' "
+        f"WHEN 2 THEN 'Doc ' ELSE 'Texto sem dados pessoais aqui.' END "
+        f"AS p1",
+        f"CASE WHEN doc_id % 4 = 3 THEN '' ELSE {sf.cpf_valid_sql()} END "
+        f"AS v1",
+        "CASE doc_id % 4 WHEN 0 THEN ' contato ' WHEN 1 THEN ' e ' "
+        "ELSE '' END AS p2",
+        "CASE WHEN doc_id % 4 = 3 THEN '' ELSE 'user' || "
+        "CAST(doc_id AS STRING) || '@exemplo.gov.br' END AS v2",
+        "CASE doc_id % 4 WHEN 0 THEN ' orgao fim.' WHEN 2 THEN ' final' "
+        "ELSE '' END AS p3",
+    )
+    d = d.selectExpr(
+        "doc_id",
+        "p1 || v1 || p2 || v2 || p3 AS text",
+        """filter(array(
+             named_struct('type', 'DOC_PESSOAL',
+                          'start', length(p1),
+                          'end', length(p1) + length(v1),
+                          'value', v1, 'conf', 1.0d, 'n_tokens', 1),
+             named_struct('type', 'CONTATO',
+                          'start', length(p1) + length(v1) + length(p2),
+                          'end', length(p1) + length(v1) + length(p2)
+                                 + length(v2),
+                          'value', v2, 'conf', 1.0d, 'n_tokens', 1),
+             named_struct('type', 'ORG_JURIDICA',
+                          'start', length(p1) + length(v1) + length(p2)
+                                   + length(v2),
+                          'end', length(p1) + length(v1) + length(p2)
+                                 + length(v2)
+                                 + CASE WHEN doc_id % 4 = 0 THEN 5
+                                        ELSE 0 END,
+                          'value', '', 'conf', 1.0d, 'n_tokens', 1)
+           ), s -> s.end > s.start) AS spans""",
+    )
+    return d.select(
+        "doc_id",
+        redact_expr(F.col("text"), F.col("spans"), "tag")
+        .alias("tag_redacted"),
+        redact_expr(F.col("text"), F.col("spans"), "mask")
+        .alias("mask_redacted"),
+    ).orderBy("doc_id")
+
+
 # =========================================================================
 # Window / sequence family (SURVEY §2.5 W1-W4 analogues on ordered data)
 # =========================================================================
