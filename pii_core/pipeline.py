@@ -259,16 +259,29 @@ def _mean_logit_matrix(items, n_chunks: int):
         if not items:
             return None
         ch, offs, em = items[0]
-        keys = [(a + ch.char_start, b + ch.char_start)
-                for a, b in offs if a < b]
-        if not keys:
-            return None
-        if len(set(keys)) == len(keys):
-            em_global = np.asarray(em, dtype=np.float32)
-            if len(keys) != len(offs):
-                em_global = em_global[
-                    [i for i, (a, b) in enumerate(offs) if a < b]]
-            return keys, em_global
+        # One validation pass, no set-of-tuples build: offsets that are all
+        # non-empty (a < b) with STRICTLY increasing starts are unique AND
+        # already in the general path's sorted order (regex tokenizers
+        # produce exactly this shape), so the chunk emissions ARE the
+        # global emissions and — when char_start is 0 — ``offs`` itself is
+        # the keys list, zero copies. Anything else (empty offsets from a
+        # specials-emitting adapter, repeats, disorder) falls through to
+        # the general path, whose dict accumulation dedups/averages/sorts;
+        # the old set-based condition also accepted unsorted-unique keys
+        # and returned them UNSORTED, diverging from the general path's
+        # sorted order — narrowing the condition removed that corner.
+        pa = -1
+        ok = True
+        for a, b in offs:
+            if a >= b or a <= pa:
+                ok = False
+                break
+            pa = a
+        if ok and offs:
+            cs = ch.char_start
+            keys = (offs if cs == 0
+                    else [(a + cs, b + cs) for a, b in offs])
+            return keys, np.asarray(em, dtype=np.float32)
 
     # Accumulate per-token logits keyed by GLOBAL (start,end) char offsets
     # so overlapping chunks average out (reference infer_pii.py:209-235).

@@ -120,3 +120,38 @@ def test_batch_checksums_match_scalar_exactly():
     assert cnpj_checksum_ok_batch(bulk14).tolist() == [
         cnpj_checksum_ok(v) for v in bulk14]
     assert cpf_checksum_ok_batch([]).tolist() == []
+
+
+def test_fast_detector_patterns_match_canonical_exactly():
+    """The _FAST digit-led twins (leading \\d class restores sre's
+    first-set skip; `\\d(?<!\\w\\d)` == `\\b\\d`) must produce the exact
+    same (start, end) match sequence as the canonical lookbehind-free spec
+    patterns on adversarial digit/punctuation soup and on the synth
+    corpus."""
+    import random
+
+    from pii_core.detectors import CANONICAL_RES, DETECTORS
+    from pii_core.html_extract import html_to_text
+    from pii_spark.synth import gen_pages
+
+    fast = {name: rx for name, _t, rx, _ok in DETECTORS}
+    rng = random.Random(99)
+    alph = "0123456789 .-abcxX_\n()/@%+"
+    texts = ["".join(rng.choice(alph) for _ in range(rng.randrange(0, 60)))
+             for _ in range(60000)]
+    texts += [html_to_text(p["html"]) or (p["text"] or "")
+              for p in gen_pages(300, seed=77)]
+    for name, canon in CANONICAL_RES.items():
+        f = fast[name]
+        for t in texts:
+            a = [(m.start(), m.end()) for m in canon.finditer(t)]
+            b = [(m.start(), m.end()) for m in f.finditer(t)]
+            assert a == b, (name, t)
+
+
+def test_email_prefilter_keeps_behavior():
+    from pii_core.detectors import detect_spans
+
+    spans = detect_spans("Contato direto: fulano.tal+x@orgao.gov.br hoje.")
+    assert any(s.type == "CONTATO" for s in spans)
+    assert detect_spans("Sem contato eletronico aqui, apenas texto.") == []
