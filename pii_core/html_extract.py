@@ -208,7 +208,13 @@ _MARKED_MS = frozenset({"if", "else", "endif"})
 # falls back to the faithful slow path above. Differential fuzz pins the
 # equivalence.
 _SIMPLE_START = re.compile(
-    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    # The (?=...) after the name is load-bearing: stdlib tagfind_tolerant
+    # breaks a start-tag NAME only on ASCII [\t\n\r\f />\x00] — a Unicode
+    # whitespace like \x85 or \xa0 JOINS the name (`<a\x85>` is tag
+    # "a\x85", not "a"). Without the lookahead the fast path would read
+    # the name as "a" and the \x85 as a separator — a different tag, and
+    # a wrong link/drop decision. Such tags must take the slow path.
+    r"<([a-zA-Z][a-zA-Z0-9]*)(?=[\t\n\r\f />])"
     r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
     r"(?:\s*=\s*(?:'[^'<>&]*'|\"[^\"<>&]*\"|[^\s>'\"=<&]+))?"
     r")*)\s*(/?)>")

@@ -415,7 +415,11 @@ def test_scanner_matches_oracle_on_token_soup():
               "word&#x20;mais ", "<div title='a class=menu'>",
               "<DIV CLASS=AD>", "<p id=x>", "a=1", "/", "<div a=1/>",
               "<a href=/x/y>", "<div a= />"]
-    alph = "<>/!?&;#abAB='\"[] \n-xX.1"
+    # \x85/\xa0/\x1c: Unicode whitespace that stdlib start-tag NAMES
+    # absorb (tagfind breaks only on ASCII [\t\n\r\f />\x00]) — caught a
+    # real fast-path divergence where `<a\x85>` was read as tag "a"
+    alph = "<>/!?&;#abAB='\"[] \n-xX.1\x00\\\tç\x85\xa0\x1c"
+    tokens += ["<a\x85>", "<a \x85>", "<div\xa0class='menu'>", "<p\x1c>"]
     for trial in range(1500):
         h = "".join(rng.choice(tokens)
                     for _ in range(rng.randrange(1, 40)))
