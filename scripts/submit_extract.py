@@ -41,6 +41,11 @@ def main() -> int:
              "guard; the landed results stay adoptable/vacuumable). "
              "Default 0.5; pass 1.0 to disable")
     ap.add_argument(
+        "--max-doc-bytes", type=int, default=None, metavar="N",
+        help="giant-page straggler bound: payloads above N bytes "
+             "quarantine fail-closed before any parse work (default: the "
+             "ExtractConfig default, 10 MB; pass 0 to disable the cap)")
+    ap.add_argument(
         "--redact", choices=["tag", "mask"], default=None,
         help="also write publishable redacted text ([TYPE] tags or "
              "length-preserving * masks) to <output>.redacted/<run_id>")
@@ -109,8 +114,16 @@ def main() -> int:
 
         run_id = f"run-{int(time.time() * 1000)}"
 
+    cfg = None
+    if args.max_doc_bytes is not None:
+        from pii_core.pipeline import ExtractConfig  # noqa: PLC0415
+
+        cfg = ExtractConfig(
+            max_doc_bytes=args.max_doc_bytes if args.max_doc_bytes > 0
+            else None)
     out = run_incremental(
         spark, pages, args.output, args.lineage, run_id,
+        cfg=cfg,
         num_partitions=args.partitions,
         max_error_rate=args.max_error_rate,
     )
