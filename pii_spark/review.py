@@ -66,8 +66,11 @@ def apply_review(
                 f"review table missing label {bad[0]['t']!r} present in "
                 "the dataset (require_all_labels=True)")
 
+    has_error = "error" in results.columns
+    err_cols = ([F.col("error")] if has_error else [])
     keyed = results.select(
-        "url", "extracted_text", F.explode_outer("spans").alias("s")
+        "url", "extracted_text", *err_cols,
+        F.explode_outer("spans").alias("s")
     )
     joined = keyed.join(
         F.broadcast(review.select("type", "value").distinct()),
@@ -88,22 +91,34 @@ def apply_review(
     # should_be_public), not vanish from the output.
     kept = joined.withColumn("s", F.when(keep, F.col("s")))
 
+    aggs = [
+        F.first("extracted_text").alias("extracted_text"),
+        F.array_sort(
+            F.collect_list("s"),  # collect_list drops nulls
+            _span_cmp,
+        ).alias("spans"),
+    ]
+    if has_error:
+        aggs.append(F.first("error").alias("error"))
     regrouped = (
         kept.groupBy("url")
-        .agg(
-            F.first("extracted_text").alias("extracted_text"),
-            F.array_sort(
-                F.collect_list("s"),  # collect_list drops nulls
-                _span_cmp,
-            ).alias("spans"),
-        )
+        .agg(*aggs)
         .withColumn("n_spans", F.size("spans"))
-        .withColumn(
-            "should_be_public",
-            ~F.exists("spans", lambda s: s.type.isin(list(PII_TYPES))),
-        )
+        .withColumn("should_be_public", _recomputed_public(has_error))
     )
     return regrouped
+
+
+def _recomputed_public(has_error: bool) -> F.Column:
+    """should_be_public from the (possibly rewritten) spans — but a
+    QUARANTINED row (error set) stays fail-closed False: its spans=[] means
+    "never scanned", not "scanned clean", and a naive ¬∃-PII recompute
+    would flip an unscanned page to publishable the moment a review pass
+    rewrites the frame."""
+    clean = ~F.exists("spans", lambda s: s.type.isin(list(PII_TYPES)))
+    if not has_error:
+        return clean
+    return F.col("error").isNull() & clean
 
 
 def add_missing(results: DataFrame, review: DataFrame) -> DataFrame:
@@ -197,9 +212,7 @@ def apply_missing(results: DataFrame, review: DataFrame) -> DataFrame:
         )
         .drop("new_spans")
         .withColumn("n_spans", F.size("spans"))
-        .withColumn(
-            "should_be_public",
-            ~F.exists("spans", lambda s: s.type.isin(list(PII_TYPES))),
-        )
+        .withColumn("should_be_public",
+                    _recomputed_public("error" in results.columns))
     )
     return merged

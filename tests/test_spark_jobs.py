@@ -871,3 +871,49 @@ def test_sql_views_surface(spark, sf_dir, tiny_results):
         LIMIT 5
     """).collect()
     assert all(x["type"] for x in j)
+
+
+def test_review_passes_keep_quarantined_rows_fail_closed(spark):
+    """A quarantined row (error set, spans=[], should_be_public=False) must
+    stay NOT-public through apply_review (both modes, error column carried)
+    and apply_missing: recomputing should_be_public from spans alone would
+    flip an unscanned page to publishable — a fail-open leak. Clean rows
+    still get the recompute."""
+    from pii_spark.review import apply_missing, apply_review
+
+    schema = ("url string, extracted_text string, spans array<struct<"
+              "type:string,start:int,end:int,value:string,conf:double,"
+              "n_tokens:int>>, should_be_public boolean, error string")
+    mk = lambda t, s, e, v: {"type": t, "start": s, "end": e, "value": v,
+                             "conf": 1.0, "n_tokens": 1}
+    results = spark.createDataFrame(
+        [("ok", "contato x@y.org aqui", [mk("CONTATO", 8, 15, "x@y.org")],
+          False, None),
+         ("clean", "pagina sem dados pessoais", [], True, None),
+         ("quar", "", [], False, "RuntimeError: boom")], schema)
+    review = spark.createDataFrame([("CONTATO", "x@y.org")], "type string, value string")
+
+    for mode in ("semi", "anti"):
+        got = {r["url"]: r for r in
+               apply_review(results, review, mode=mode).collect()}
+        assert got["quar"]["should_be_public"] is False
+        assert got["quar"]["error"] is not None  # marker survives
+        assert got["clean"]["should_be_public"] is True
+    # anti mode dropped the reviewed pair -> ok is now span-free BUT was
+    # scanned (error null) -> publishable
+    anti = {r["url"]: r for r in
+            apply_review(results, review, mode="anti").collect()}
+    assert anti["ok"]["spans"] == [] and anti["ok"]["should_be_public"] is True
+
+    got = {r["url"]: r for r in apply_missing(results, review).collect()}
+    assert got["quar"]["should_be_public"] is False
+    assert got["quar"]["error"] is not None
+    assert got["clean"]["should_be_public"] is True
+    assert got["ok"]["should_be_public"] is False
+
+    # frames WITHOUT an error column (externally stored results) keep the
+    # plain spans-derived recompute
+    no_err = results.drop("error").where("url <> 'quar'")
+    got2 = {r["url"]: r for r in
+            apply_review(no_err, review, mode="semi").collect()}
+    assert got2["clean"]["should_be_public"] is True
