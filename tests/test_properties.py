@@ -169,3 +169,39 @@ def test_viterbi_batch_matches_single_and_brute_force(seqs):
         score = float(sum(e[i, p] for i, p in enumerate(path)))
         best, _ = _brute_force_viterbi(e, labels, 0)
         assert score == best
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_scanner_matches_htmlparser_oracle_on_any_text(s):
+    """The production single-pass scanner must agree with the HTMLParser
+    oracle path on ARBITRARY unicode (markup-ish or not), including the
+    exception outcome — hypothesis explores what the seeded fuzz suites
+    cannot."""
+    from pii_core.html_extract import (
+        _ContentParser,
+        _keep_blocks,
+        _scan_blocks,
+    )
+
+    try:
+        got = _keep_blocks(_scan_blocks(s))
+    except Exception as e:  # noqa: BLE001 — exception parity asserted below
+        got = ("RAISE", type(e).__name__)
+    p = _ContentParser()
+    try:
+        p.feed(s)
+        p.close()
+        want = _keep_blocks([(b.tag, b.parts, b.link_chars)
+                             for b in p.blocks])
+    except Exception as e:  # noqa: BLE001
+        want = ("RAISE", type(e).__name__)
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(
+    alphabet=st.sampled_from(list("<>/!?&;#abAB='\"[] \n-xX.1\x00ç\x85")),
+    max_size=200))
+def test_scanner_matches_htmlparser_oracle_on_markup_soup(s):
+    test_scanner_matches_htmlparser_oracle_on_any_text.hypothesis.inner_test(s)  # noqa: E501
