@@ -115,7 +115,13 @@ def _recomputed_public(has_error: bool) -> F.Column:
     "never scanned", not "scanned clean", and a naive ¬∃-PII recompute
     would flip an unscanned page to publishable the moment a review pass
     rewrites the frame."""
-    clean = ~F.exists("spans", lambda s: s.type.isin(list(PII_TYPES)))
+    # NULL-type spans count as PII here: `isin` yields NULL for them, and
+    # a bare exists() would treat a spans array holding only such a span
+    # as "no PII" — publishable. They cannot come from this engine's
+    # extraction, but this column decides PUBLISHING on whatever frame the
+    # caller loaded — fail closed on malformed external data.
+    clean = ~F.exists(
+        "spans", lambda s: s.type.isNull() | s.type.isin(list(PII_TYPES)))
     if not has_error:
         return clean
     return F.col("error").isNull() & clean

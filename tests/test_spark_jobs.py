@@ -917,3 +917,13 @@ def test_review_passes_keep_quarantined_rows_fail_closed(spark):
     got2 = {r["url"]: r for r in
             apply_review(no_err, review, mode="semi").collect()}
     assert got2["clean"]["should_be_public"] is True
+
+    # malformed external data: a spans array holding only a NULL-type span
+    # must stay NOT-public (isin yields NULL; a bare exists would read the
+    # array as PII-free)
+    malformed = spark.createDataFrame(
+        [("m", "texto", [mk(None, 0, 5, "texto")], False, None)], schema)
+    for fn in (lambda d: apply_review(d, review, mode="semi"),
+               lambda d: apply_missing(d, review)):
+        row = fn(malformed).collect()[0]
+        assert row["should_be_public"] is False
