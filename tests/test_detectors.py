@@ -155,3 +155,24 @@ def test_email_prefilter_keeps_behavior():
     spans = detect_spans("Contato direto: fulano.tal+x@orgao.gov.br hoje.")
     assert any(s.type == "CONTATO" for s in spans)
     assert detect_spans("Sem contato eletronico aqui, apenas texto.") == []
+
+
+def test_email_anchor_scan_matches_regex_exactly():
+    """The '@'-anchored O(n) email scan must reproduce EMAIL_RE.finditer's
+    (start, end) sequence exactly — incl. overlap suppression (a match's
+    end clips the next local-part expansion) and multi-@ pathologies."""
+    import random
+
+    from pii_core.detectors import EMAIL_RE, _email_spans
+
+    cases = ["a@b.com", "a@b.com@c.com", "x@y.com.zz@w.com", "a@@b.cc",
+             "@b.cc", "a@b", "a.b-c_d%e+f@g-h.i.jk", "aa@bb.cc dd@ee.ff",
+             "user@exemplo.gov.br, outro@x.org;fim@z.co", "a" * 50 + "@b.com",
+             "a@" + "b." * 30 + "com", "x@y.z@w.ab", ".@a.bc", "a@-.bc", "@"]
+    rng = random.Random(31337)
+    alph = "abAB019._%+-@ .\ncom x@ @@ çé"
+    cases += ["".join(rng.choice(alph) for _ in range(rng.randrange(0, 60)))
+              for _ in range(40000)]
+    for s in cases:
+        assert [(m.start(), m.end()) for m in EMAIL_RE.finditer(s)] \
+            == _email_spans(s), s
