@@ -169,6 +169,15 @@ def main() -> int:
     med_queries = {
         q: round(statistics.median(h["queries"][q] for h in hist), 3)
         for q in queries}
+    # ADDITIVE recent-window view (last 5 same-method invocations): the
+    # all-history median measures the engine's history, so after a real
+    # engine speedup it lags for a whole round; the window tracks the
+    # CURRENT code state while the full series stays untouched for
+    # round-over-round comparability.
+    recent = hist[-5:]
+    recent_queries = {
+        q: round(statistics.median(h["queries"][q] for h in recent), 3)
+        for q in queries}
 
     print(json.dumps({
         "metric": "headline_suite_sec",
@@ -186,6 +195,10 @@ def main() -> int:
         "median_value": round(sum(med_queries.values()), 3),
         "median_docs_per_sec": round(statistics.median(
             h["docs_per_sec"] for h in hist), 1),
+        "recent5_queries": recent_queries,
+        "recent5_value": round(sum(recent_queries.values()), 3),
+        "recent5_docs_per_sec": round(statistics.median(
+            h["docs_per_sec"] for h in recent), 1),
     }))
     spark.stop()
     return 0
