@@ -97,6 +97,10 @@ def main() -> int:
     ap.add_argument("--batching", action="store_true",
                     help="short-doc cross-document forward-batching bench "
                          "(pii_core-local, no Spark) -> BENCH/batching.md")
+    ap.add_argument("--single-core", action="store_true",
+                    help="pii_core-local single-core extraction bench "
+                         "(2400-doc synth corpus, median of 7) -> appends "
+                         "BENCH/single_core_runs.jsonl")
     ap.add_argument("--repeats", type=int, default=3,
                     help="scaling mode: timed runs per config (median taken)")
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -105,6 +109,8 @@ def main() -> int:
 
     if args.batching:
         return batching()
+    if args.single_core:
+        return single_core()
 
     from pii_spark.session import get_spark
 
@@ -201,6 +207,43 @@ def main() -> int:
             h["docs_per_sec"] for h in recent), 1),
     }))
     spark.stop()
+    return 0
+
+
+def single_core(n_docs: int = 2400, repeats: int = 7) -> int:
+    """Single-core end-to-end extraction (html → text → chunks → emissions
+    → Viterbi → spans → decision), no Spark: the per-core ceiling the
+    distributed numbers divide into. Median of ``repeats`` timed passes
+    over the deterministic synth corpus; appends one JSON line to
+    BENCH/single_core_runs.jsonl and prints it."""
+    import statistics
+
+    from pii_core.pipeline import ExtractConfig, extract_page_batch
+    from pii_spark.synth import gen_pages
+
+    recs = [(p["url"], p["html"], p["text"])
+            for p in gen_pages(n_docs, seed=7)]
+    in_bytes = sum(len(h) for _, h, _ in recs if h)
+    extract_page_batch(recs, ExtractConfig())  # warm-up (JIT, caches)
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = extract_page_batch(recs, ExtractConfig())
+        times.append(time.time() - t0)
+    n_err = sum(1 for r in out if isinstance(r, Exception))
+    med = statistics.median(times)
+    rec = {
+        "ts": time.time(), "n_docs": n_docs, "repeats": repeats,
+        "median_sec": round(med, 3),
+        "docs_per_sec": round(n_docs / med, 1),
+        "mb_per_sec": round(in_bytes / 1e6 / med, 2),
+        "best_docs_per_sec": round(n_docs / min(times), 1),
+        "errors": n_err,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/single_core_runs.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
     return 0
 
 
