@@ -25,6 +25,7 @@ Chunking is doc-local: in the Spark engine it runs inside one Arrow batch of
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from typing import NamedTuple
 
 from pii_core.tokenizer import WordTokenizer
@@ -145,8 +146,62 @@ def build_chunks(
     coverage invariant still holds. All other documents chunk identically
     in both modes.
     """
+    chunks, _ranges, _offsets = _build_chunks(
+        text, tokenizer, max_length=max_length, stride=stride,
+        boundary_backoff=boundary_backoff, hard_split=hard_split)
+    return chunks
+
+
+def build_chunks_with_offsets(
+    text: str,
+    tokenizer: WordTokenizer,
+    *,
+    max_length: int = 512,
+    stride: int = 64,
+    boundary_backoff: int = 32,
+    hard_split: bool = False,
+) -> list[tuple[Chunk, list[tuple[int, int]]]]:
+    """``build_chunks`` plus each chunk's LOCAL token offsets — exactly what
+    ``tokenizer.encode(chunk.text)`` returns (the differential suite pins
+    the equality), without re-tokenizing every chunk.
+
+    When the tokenizer declares ``slice_stable`` (see
+    ``tokenizer.WordTokenizer``), the chunker's single document-level token
+    scan is sliced and shifted per chunk — the per-chunk re-encode that was
+    ~60% of all tokenizer work in the extraction hot path disappears.
+    Tokenizers without the contract (e.g. a real WordPiece adapter with
+    context-dependent continuations) fall back to honest per-chunk
+    re-tokenization; output is identical either way.
+    """
+    chunks, ranges, offsets = _build_chunks(
+        text, tokenizer, max_length=max_length, stride=stride,
+        boundary_backoff=boundary_backoff, hard_split=hard_split)
+    out: list[tuple[Chunk, list[tuple[int, int]]]] = []
+    for ch, rng in zip(chunks, ranges):
+        if rng is None:
+            out.append((ch, tokenizer.encode(ch.text)))
+        else:
+            lo, hi = rng
+            a = ch.char_start
+            out.append((ch, [(s - a, e - a) for s, e in offsets[lo:hi]]))
+    return out
+
+
+def _build_chunks(
+    text: str,
+    tokenizer: WordTokenizer,
+    *,
+    max_length: int,
+    stride: int,
+    boundary_backoff: int,
+    hard_split: bool,
+) -> tuple[list[Chunk], list[tuple[int, int] | None], list[tuple[int, int]]]:
+    """Core chunking loop. Returns (chunks, token_ranges, doc_offsets):
+    ``token_ranges[i]`` is the ``[lo, hi)`` slice of ``doc_offsets`` whose
+    tokens fall strictly inside chunk i's char range — computed only for
+    ``slice_stable`` tokenizers (else None per chunk)."""
     if not isinstance(text, str) or not text:
-        return [Chunk("", 0, 0, 0)]
+        return [Chunk("", 0, 0, 0)], [(0, 0)], []
     if max_length <= 8:
         raise ChunkingConfigError(f"max_length too small: {max_length}")
     budget = int(max_length) - tokenizer.num_special_tokens
@@ -162,10 +217,34 @@ def build_chunks(
     n = len(offsets)
     if n == 0 or n <= budget:
         # Whole text fits one window: skip boundary heuristics entirely
-        # (reference chunking.py:195-198).
-        return [Chunk(text, 0, len(text), 0)]
+        # (reference chunking.py:195-198). The chunk IS the document, so
+        # its local offsets are the document offsets for ANY tokenizer.
+        return [Chunk(text, 0, len(text), 0)], [(0, n)], offsets
+
+    stable = bool(getattr(tokenizer, "slice_stable", False))
+    starts: list[int] | None = None
+
+    def _lo(a: int) -> int:
+        """Index of the first token with char start >= ``a`` (chunk char
+        starts never fall inside a token, so this is the chunk's first
+        token)."""
+        nonlocal starts
+        if starts is None:
+            starts = [o[0] for o in offsets]
+        return bisect_left(starts, a)
+
+    def _enc_len(a: int, b: int, e: int) -> int:
+        """``encoded_len_with_specials(text[a:b])`` — by arithmetic over the
+        document scan when the tokenizer declares slice-stability (the
+        tokens of the slice are exactly ``offsets[_lo(a):e]``; every caller
+        passes the ``e`` for which no token crosses ``b``), else by honest
+        re-tokenization. The differential suite pins the two paths equal."""
+        if stable:
+            return (e - _lo(a)) + tokenizer.num_special_tokens
+        return tokenizer.encoded_len_with_specials(text[a:b])
 
     chunks: list[Chunk] = []
+    ranges: list[tuple[int, int] | None] = []
     start_tok = 0
     idx = 0
     while start_tok < n:
@@ -210,7 +289,7 @@ def build_chunks(
         # Word-aligned boundaries can grow token count on re-tokenization;
         # shrink until the chunk fits (reference chunking.py:264-285).
         next_start = start_tok + step
-        while tokenizer.encoded_len_with_specials(text[char_start:char_end]) > max_length:
+        while _enc_len(char_start, char_end, end_tok) > max_length:
             if end_tok <= hard_min_end:
                 if not hard_split:
                     raise RuntimeError(
@@ -223,13 +302,12 @@ def build_chunks(
                 char_start = raw_start
                 end_tok = min(start_tok + budget, n)
                 char_end = offsets[end_tok - 1][1]
-                while (end_tok > start_tok + 1 and tokenizer.
-                       encoded_len_with_specials(text[char_start:char_end])
+                while (end_tok > start_tok + 1
+                       and _enc_len(char_start, char_end, end_tok)
                        > max_length):
                     end_tok -= 1
                     char_end = offsets[end_tok - 1][1]
-                if tokenizer.encoded_len_with_specials(
-                        text[char_start:char_end]) > max_length:
+                if _enc_len(char_start, char_end, end_tok) > max_length:
                     raise RuntimeError(
                         f"single token exceeds max_length={max_length} "
                         f"at start_tok={start_tok}")
@@ -238,8 +316,7 @@ def build_chunks(
                     # re-tokenizes within budget, keeping char_end==len(text)
                     ext = _extend_over_separators(text, char_end, len(text))
                     if ext > char_end:
-                        if tokenizer.encoded_len_with_specials(
-                                text[char_start:ext]) <= max_length:
+                        if _enc_len(char_start, ext, end_tok) <= max_length:
                             char_end = ext
                         elif end_tok > start_tok + 1:
                             # tokenizers where the tail costs tokens
@@ -266,8 +343,7 @@ def build_chunks(
                     ext = _extend_over_separators(
                         text, char_end, offsets[end_tok][0])
                     if ext > char_end:
-                        if tokenizer.encoded_len_with_specials(
-                                text[char_start:ext]) > max_length:
+                        if _enc_len(char_start, ext, end_tok) > max_length:
                             raise RuntimeError(
                                 f"hard-split degenerated to a single token "
                                 f"at start_tok={start_tok} and the "
@@ -282,9 +358,10 @@ def build_chunks(
                 raise RuntimeError(f"invalid span while shrinking at start_tok={start_tok}")
 
         chunks.append(Chunk(text[char_start:char_end], char_start, char_end, idx))
+        ranges.append((_lo(char_start), end_tok) if stable else None)
         idx += 1
         if end_tok >= n:
             break
         start_tok = next_start
 
-    return chunks
+    return chunks, ranges, offsets

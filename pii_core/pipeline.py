@@ -34,7 +34,7 @@ from typing import Callable
 
 import numpy as np
 
-from pii_core.chunking import ChunkingConfigError, build_chunks
+from pii_core.chunking import ChunkingConfigError, build_chunks_with_offsets
 from pii_core.decoding import viterbi_bio, viterbi_bio_batch
 from pii_core.detectors import detect_spans
 from pii_core.html_extract import html_to_text_strict
@@ -177,25 +177,24 @@ _DECODE_WINDOW_DOCS = 8 * _DECODE_BATCH_DOCS
 _DECODE_CELL_BUDGET = 500_000
 
 
-def _chunk_emissions(chunks, tokenizer, emitter: Emitter, batch_size: int):
-    """Yield (chunk, offsets, (T,C) emissions) in chunk order, micro-batching
-    chunks through ``emitter.emit_batch`` when the emitter provides it — the
-    reference's batched forward pass (infer_pii.py:180-201, chunks of one
-    document in groups of --batch_size). Emissions per chunk are identical
-    either way; batching only changes how many chunks share a forward call,
-    so downstream fp32 accumulation order (chunk order) is unchanged."""
+def _chunk_emissions(pairs, emitter: Emitter, batch_size: int):
+    """Yield (chunk, offsets, (T,C) emissions) in chunk order from
+    (chunk, local_offsets) pairs (``build_chunks_with_offsets``),
+    micro-batching chunks through ``emitter.emit_batch`` when the emitter
+    provides it — the reference's batched forward pass (infer_pii.py:180-201,
+    chunks of one document in groups of --batch_size). Emissions per chunk
+    are identical either way; batching only changes how many chunks share a
+    forward call, so downstream fp32 accumulation order (chunk order) is
+    unchanged."""
     emit_batch = getattr(emitter, "emit_batch", None)
     if emit_batch is None:
-        for ch in chunks:
-            offs = tokenizer.encode(ch.text)
+        for ch, offs in pairs:
             if offs:
                 yield ch, offs, emitter(ch.text, offs)
         return
     step = max(1, int(batch_size))
-    for i in range(0, len(chunks), step):
-        group = chunks[i:i + step]
-        keep = [(ch, offs) for ch in group
-                if (offs := tokenizer.encode(ch.text))]
+    for i in range(0, len(pairs), step):
+        keep = [(ch, offs) for ch, offs in pairs[i:i + step] if offs]
         if not keep:
             continue
         ems = list(emit_batch([ch.text for ch, _ in keep],
@@ -362,7 +361,7 @@ def _ner_spans(
     text: str, cfg: ExtractConfig, tokenizer: WordTokenizer, emitter: Emitter
 ) -> list[Span]:
     ctx = _label_ctx(emitter)
-    chunks = build_chunks(
+    pairs = build_chunks_with_offsets(
         text,
         tokenizer,
         max_length=cfg.max_length,
@@ -370,8 +369,8 @@ def _ner_spans(
         boundary_backoff=cfg.boundary_backoff,
         hard_split=cfg.hard_split,
     )
-    items = _chunk_emissions(chunks, tokenizer, emitter, cfg.batch_size)
-    return _decode_chunk_emissions(items, len(chunks), cfg, ctx)
+    items = _chunk_emissions(pairs, emitter, cfg.batch_size)
+    return _decode_chunk_emissions(items, len(pairs), cfg, ctx)
 
 
 def _finalize_document(
@@ -733,15 +732,14 @@ def extract_page_batch(
             d[1] = extracted = _payload_to_text(html, text,
                                                 cfg.max_doc_bytes)
             if cfg.use_ner and extracted:
-                chunks = build_chunks(
+                pairs = build_chunks_with_offsets(
                     extracted, tokenizer,
                     max_length=cfg.max_length, stride=cfg.stride,
                     boundary_backoff=cfg.boundary_backoff,
                     hard_split=cfg.hard_split,
                 )
-                d[2] = len(chunks)
-                with_offs = [(ch, offs) for ch in chunks
-                             if (offs := tokenizer.encode(ch.text))]
+                d[2] = len(pairs)
+                with_offs = [(ch, offs) for ch, offs in pairs if offs]
                 d[4] = len(with_offs)
                 buf.extend((d, ch, offs) for ch, offs in with_offs)
         except ChunkingConfigError:

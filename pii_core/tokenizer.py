@@ -26,7 +26,39 @@ _TOKEN_RE = re.compile(r"[\w'’\-]+|[^\s\w'’\-]", re.UNICODE)
 
 
 class WordTokenizer:
-    """Whitespace/punctuation tokenizer with char offsets and subword pieces."""
+    """Whitespace/punctuation tokenizer with char offsets and subword pieces.
+
+    ``slice_stable = True`` declares the SLICE-STABILITY contract the chunker
+    may exploit (``chunking.build_chunks_with_offsets``): for any window
+    ``[a, b)`` whose ``a`` falls on a token start that is also either a
+    word-run start or a piece boundary at a multiple of ``piece_len`` into
+    its run, and whose ``b`` satisfies ``last_token_end <= b <
+    next_token_start_end`` (never inside a token),
+
+        encode(text[a:b]) == [(s - a, e - a) for (s, e) in encode(text)
+                              if s >= a and e <= b]
+
+    This holds here because tokens never cross whitespace/punct boundaries
+    and word-run pieces are greedy fixed-width from the run start, so a cut
+    at a piece boundary re-pieces the tail identically. A real WordPiece
+    adapter (context-dependent ``##`` continuations) must NOT set this flag
+    — absent/False routes the chunker to honest re-tokenization.
+
+    The flag is a PROPERTY that self-revokes in subclasses overriding
+    ``encode`` or ``encoded_len_with_specials``: the contract is a fact
+    about those two methods, so a subclass that changes either (e.g. a
+    char-costing byte-BPE stand-in in the test suite) must not inherit the
+    claim — it would silently produce wrong chunk boundaries. A subclass
+    whose overrides genuinely keep the contract can re-assert it with a
+    plain class attribute ``slice_stable = True`` (shadows the property).
+    """
+
+    @property
+    def slice_stable(self) -> bool:
+        cls = type(self)
+        return (cls.encode is WordTokenizer.encode
+                and cls.encoded_len_with_specials
+                is WordTokenizer.encoded_len_with_specials)
 
     def __init__(self, piece_len: int = 8, num_special_tokens: int = 2):
         if piece_len < 1:

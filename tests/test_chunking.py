@@ -239,3 +239,105 @@ def test_sentence_boundary_preferred():
     for ch in chunks[:-1]:
         tail = ch.text.rstrip()
         assert tail.endswith("."), repr(tail[-20:])
+
+
+# ---------------------------------------------------------------------------
+# Slice-stable offset reuse (build_chunks_with_offsets): the arithmetic
+# token-count path and the sliced per-chunk offsets must be EXACTLY what the
+# honest re-tokenization path produces, on every text we can throw at it.
+# ---------------------------------------------------------------------------
+
+from pii_core.chunking import build_chunks_with_offsets  # noqa: E402
+
+
+class _UnstableWrap:
+    """The same tokenizer with ``slice_stable`` withheld — forces the honest
+    re-tokenization path so the arithmetic path can be pinned against it."""
+
+    def __init__(self, tok: WordTokenizer):
+        self._tok = tok
+        self.piece_len = tok.piece_len
+        self.num_special_tokens = tok.num_special_tokens
+
+    def encode(self, text):
+        return self._tok.encode(text)
+
+    def encoded_len_with_specials(self, text):
+        return self._tok.encoded_len_with_specials(text)
+
+
+def _assert_offsets_differential(text, tok=TOK, **kw):
+    slow = _UnstableWrap(tok)
+    try:
+        fast_pairs = build_chunks_with_offsets(text, tok, **kw)
+    except RuntimeError as fast_err:
+        # exception parity: the honest path must refuse the same documents
+        # with the same message (pathological unbroken runs, tiny budgets)
+        import re
+        with pytest.raises(RuntimeError, match=re.escape(str(fast_err))):
+            build_chunks_with_offsets(text, slow, **kw)
+        return
+    slow_pairs = build_chunks_with_offsets(text, slow, **kw)
+    # identical chunking decisions (the arithmetic _enc_len path vs honest
+    # re-tokenization) ...
+    assert [c for c, _ in fast_pairs] == [c for c, _ in slow_pairs]
+    assert [c for c, _ in fast_pairs] == build_chunks(text, tok, **kw)
+    # ... and identical per-chunk offsets (sliced doc scan vs re-encode)
+    for (ch, fast_offs), (_, slow_offs) in zip(fast_pairs, slow_pairs):
+        assert list(fast_offs) == list(slow_offs), ch
+        assert list(fast_offs) == tok.encode(ch.text), ch
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("max_length,stride", [(32, 8), (64, 16), (512, 64)])
+def test_offsets_differential_random_texts(seed, max_length, stride):
+    _assert_offsets_differential(make_text(seed, 600),
+                                 max_length=max_length, stride=stride)
+
+
+@pytest.mark.parametrize("hard_split", [False, True])
+def test_offsets_differential_long_word_runs(hard_split):
+    # continuation pieces + word-start backup: the exact shapes where a
+    # wrong lo/hi would silently shift every downstream span
+    text = " ".join("abcdefghijklmnopqrstuvwxyzabcd" for _ in range(60))
+    _assert_offsets_differential(text, max_length=32, stride=4,
+                                 hard_split=hard_split)
+
+
+def test_offsets_differential_giant_word_hard_split():
+    # mid-run piece-boundary cuts (char_start NOT at a word start)
+    _assert_offsets_differential("a" * 10_000, max_length=32, stride=4,
+                                 hard_split=True)
+    _assert_offsets_differential("x" * 999 + " fim. " + "y" * 500,
+                                 max_length=24, stride=6, hard_split=True)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(min_size=0, max_size=1500))
+def test_offsets_differential_hypothesis(text):
+    _assert_offsets_differential(text, max_length=24, stride=6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet=st.characters(
+    codec="utf-8", categories=("L", "N", "P", "S", "Z", "C")),
+    min_size=0, max_size=800))
+def test_offsets_differential_unicode_soup(text):
+    # exotic whitespace/control/symbol chars: the word-class equivalence
+    # (\w == isalnum or '_') and boundary math must hold across all of them
+    _assert_offsets_differential(text, max_length=20, stride=5,
+                                 hard_split=True)
+
+
+def test_piece_len_one_and_odd_budgets():
+    text = make_text(3, 400)
+    tok = WordTokenizer(piece_len=1)
+    # piece_len=1 at a small budget hits the hard-minimum refusal on long
+    # words (exception parity asserted); hard_split exercises live offsets
+    _assert_offsets_differential(text, tok=tok, max_length=16, stride=3)
+    _assert_offsets_differential(text, tok=tok, max_length=16, stride=3,
+                                 hard_split=True)
+    tok3 = WordTokenizer(piece_len=3)
+    _assert_offsets_differential(text, tok=tok3, max_length=17, stride=2)
+    _assert_offsets_differential(text, tok=tok3, max_length=17, stride=2,
+                                 hard_split=True)
