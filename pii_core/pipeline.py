@@ -241,10 +241,17 @@ def _decode_and_filter(keys, em_global, cfg: ExtractConfig, ctx,
     )
 
 
-def _mean_logit_matrix(items, n_chunks: int):
+def _mean_logit_matrix(items, n_chunks: int, trusted_offsets: bool = False):
     """One document's global (keys, (K,C) mean-logit matrix) from its
     (chunk, offsets, emissions) stream, or None if no tokens survive.
-    ``keys`` are sorted global (start,end) char offsets."""
+    ``keys`` are sorted global (start,end) char offsets.
+
+    ``trusted_offsets=True`` asserts the offsets came from a slice-stable
+    tokenizer's own scan (``build_chunks_with_offsets``), which produces
+    non-empty tokens with strictly increasing starts BY CONSTRUCTION — the
+    single-chunk fast path then skips its per-token validation loop. The
+    differential test pins trusted and untrusted results identical on that
+    provenance."""
     # Single-chunk fast path (the common case for web pages): no overlap
     # to average, so the chunk emissions ARE the global emissions —
     # identical result to the dict accumulation below with count=1
@@ -269,13 +276,16 @@ def _mean_logit_matrix(items, n_chunks: int):
         # the old set-based condition also accepted unsorted-unique keys
         # and returned them UNSORTED, diverging from the general path's
         # sorted order — narrowing the condition removed that corner.
-        pa = -1
-        ok = True
-        for a, b in offs:
-            if a >= b or a <= pa:
-                ok = False
-                break
-            pa = a
+        if trusted_offsets:
+            ok = True
+        else:
+            pa = -1
+            ok = True
+            for a, b in offs:
+                if a >= b or a <= pa:
+                    ok = False
+                    break
+                pa = a
         if ok and offs:
             cs = ch.char_start
             keys = (offs if cs == 0
@@ -333,14 +343,14 @@ def _mean_logit_matrix(items, n_chunks: int):
 
 
 def _decode_chunk_emissions(items, n_chunks: int, cfg: ExtractConfig,
-                            ctx) -> list[Span]:
+                            ctx, trusted_offsets: bool = False) -> list[Span]:
     """One document's NER spans from its (chunk, offsets, emissions) stream.
 
     ``items`` yields in CHUNK ORDER — the fp32 accumulation order — so the
     result is byte-identical however the emissions were produced (per-chunk
     calls, per-document micro-batches, or cross-document batches)."""
     if cfg.aggregate == "mean_logits":
-        kg = _mean_logit_matrix(items, n_chunks)
+        kg = _mean_logit_matrix(items, n_chunks, trusted_offsets)
         if kg is None:
             return []
         return _decode_and_filter(kg[0], kg[1], cfg, ctx)
@@ -370,7 +380,9 @@ def _ner_spans(
         hard_split=cfg.hard_split,
     )
     items = _chunk_emissions(pairs, emitter, cfg.batch_size)
-    return _decode_chunk_emissions(items, len(pairs), cfg, ctx)
+    return _decode_chunk_emissions(
+        items, len(pairs), cfg, ctx,
+        trusted_offsets=bool(getattr(tokenizer, "slice_stable", False)))
 
 
 def _finalize_document(
@@ -605,6 +617,10 @@ def extract_page_batch(
     batched_viterbi = (cfg.decode == "bio_viterbi"
                        and cfg.aggregate == "mean_logits")
     labels_list, o_id = ctx[0], ctx[3]
+    # offsets below all come from build_chunks_with_offsets over THIS
+    # tokenizer: slice-stable scans are strictly-increasing/non-empty by
+    # construction, so the aggregation fast path may skip its validation
+    trusted_offs = bool(getattr(tokenizer, "slice_stable", False))
 
     out: list[dict | Exception] = []
     # Docs whose emissions are still outstanding, in input order:
@@ -636,12 +652,12 @@ def extract_page_batch(
         if not batched_viterbi:
             try:
                 ner = _decode_chunk_emissions(iter(items), n_chunks, cfg,
-                                              ctx)
+                                              ctx, trusted_offs)
             except Exception as e:  # noqa: BLE001 — per-page quarantine
                 return ("done", e)
             return ("done", finalize_record(url, extracted, ner))
         try:
-            kg = _mean_logit_matrix(items, n_chunks)
+            kg = _mean_logit_matrix(items, n_chunks, trusted_offs)
         except Exception as e:  # noqa: BLE001 — per-page quarantine
             return ("done", e)
         if kg is None:

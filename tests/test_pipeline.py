@@ -429,3 +429,44 @@ def test_giant_page_cap_quarantines_before_parse():
 
     with pytest.raises(ValueError, match="max_doc_bytes"):
         ExtractConfig(max_doc_bytes=0)
+
+
+def test_trusted_offsets_path_equivalent():
+    """The trusted-offsets fast path (skipping per-token validation when the
+    offsets come from a slice-stable tokenizer's own scan) must be
+    byte-identical to the validating path, and an adapter emitting
+    degenerate offsets (specials as (0,0), repeats) must still be routed
+    through the general accumulation path, never the trusted skip."""
+    import pii_core.pipeline as pl
+    from pii_core.tokenizer import WordTokenizer
+    from pii_spark.synth import gen_pages
+
+    pages = [p for p in gen_pages(60, seed=33)]
+
+    class NotStable(WordTokenizer):
+        """Same scan, stability claim withheld (property self-revokes)."""
+
+        def encode(self, text):
+            return WordTokenizer.encode(self, text)
+
+    assert WordTokenizer().slice_stable is True
+    assert NotStable().slice_stable is False
+
+    cfg = pl.ExtractConfig()
+    recs = [(p["url"], p["html"], p["text"]) for p in pages]
+    fast = pl.extract_page_batch(recs, cfg, tokenizer=WordTokenizer())
+    slow = pl.extract_page_batch(recs, cfg, tokenizer=NotStable())
+    assert fast == slow
+
+    # degenerate offsets: _mean_logit_matrix must dedupe/average via the
+    # general path even when told offsets are trusted=False (adapter case)
+    import numpy as np
+    class Ch:
+        char_start = 0
+    ch = Ch()
+    em = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], dtype=np.float32)
+    items = [(ch, [(0, 0), (1, 3), (1, 3)], em)]
+    kg = pl._mean_logit_matrix(items, 1, trusted_offsets=False)
+    keys, m = kg
+    assert keys == [(1, 3)]
+    assert np.allclose(m, [[4.0, 5.0]])
