@@ -109,8 +109,16 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
                        text_col="text")
 
     # --- stage 2: doc-local quality gates -------------------------------
+    # NULL text counts as ZERO tokens, not NULL: size(split(NULL)) is NULL,
+    # a NULL n_tok makes every gate predicate NULL (never fires), and a
+    # NULL normalized_fp never matches a join key — so a crawl row with no
+    # text would sail through every stage and emerge as a keepable survivor
+    # (fail-open for a quality gate). As an empty doc it hits the
+    # min_tokens gate like any other empty text.
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
-    sig = d.withColumn("n_tok", F.size(toks))
+    sig = d.withColumn(
+        "n_tok",
+        F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(toks)))
     if cfg.max_dup_line_pm is not None:
         # line-stats-only helper: curate never reads the bigram half of
         # repetition_stats, and the n-gram join below computes its own

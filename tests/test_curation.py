@@ -81,3 +81,23 @@ def test_curate_stage_order_and_toggles(spark):
 def test_curation_config_validation():
     with pytest.raises(ValueError, match="min_tokens"):
         CurationConfig(min_tokens=-1)
+
+
+def test_curate_null_and_empty_text_gate_out(spark):
+    """A crawl row with NULL text must NOT survive curation: NULL n_tok
+    would make every gate predicate NULL (never fires) and a NULL
+    fingerprint never matches a dedup join key, so before the fix such
+    rows sailed through the whole DAG as keepable survivors. NULL text is
+    an empty document — it gates as too_short, with and without the
+    near-dup stage, and never poisons healthy rows."""
+    healthy = " ".join(f"palavra{i} termo{i * 7}" for i in range(40))
+    rows = [(1, healthy), (2, None), (3, None), (4, ""), (5, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for cfg in (CurationConfig(), CurationConfig(near_dup_jaccard_pm=None)):
+        got = {r["doc_id"]: r["drop_reason"]
+               for r in curate(df, cfg).collect()}
+        assert got[1] is None
+        assert got[2] == "too_short"
+        assert got[3] == "too_short"
+        assert got[4] == "too_short"
+        assert got[5] == "too_short"
