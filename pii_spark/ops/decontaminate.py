@@ -1,0 +1,129 @@
+"""Benchmark decontamination — the training-corpus hygiene pass that keeps
+evaluation honest: drop (or flag) corpus documents sharing long word
+n-grams with an evaluation/benchmark set, so test questions never leak
+into training data. The GPT-3-family recipe: a document is contaminated
+when it collides with the benchmark set on at least ``min_hits`` distinct
+``n``-gram(s) (n=13 default — long enough that natural re-use is rare,
+short enough to catch paraphrase-free copies).
+
+The reference engine has no training-mix tooling at all; this implements
+the standard published semantics Spark-first (the reference repo's scope
+ends at PII extraction — infer_pii.py — so there is no file:line analogue;
+the operator belongs to the LLM-data-pipeline family the engine adds, next
+to dedup/ANN/curation).
+
+Normalization (frozen, mirrored verbatim by the DuckDB oracle in
+tests/test_decontaminate.py): lowercase, whitespace-tokenized, n-grams
+joined by single spaces, DISTINCT per document — repetition spam cannot
+inflate or dilute counts.
+
+100 TB shape:
+
+* The benchmark side is small by nature (eval suites: 10^3-10^5 docs).
+  Its distinct n-gram set reduces to 32-hex md5 keys (~3x smaller than the
+  raw 13-grams) and broadcasts — the corpus is NEVER shuffled for the
+  probe. md5 keys are also what the committed artifact would store.
+* The corpus side explodes n-grams doc-locally, hash-joins the broadcast
+  set, and partially aggregates (doc_id, hits) — the only exchange
+  carries (doc_id, count) pairs for DIRTY-ish docs, a vanishing fraction.
+* Collisions: md5 over ~10^7 benchmark grams is birthday-safe by ~10^18;
+  and a collision could only FLAG an innocent document (over-removal),
+  never keep a contaminated one — the fail-safe direction for this gate.
+* Documents with fewer than ``n`` tokens carry no n-grams and are always
+  clean; catching short-form contamination needs a smaller ``n`` pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_array(text_col: str, n: int) -> Column:
+    """DISTINCT lowercase word ``n``-grams of ``text_col`` as an array
+    column (doc-local, pure builtin expressions — no UDF, no shuffle)."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    # guard the short-doc case explicitly: Spark's sequence(1, 0) counts
+    # DOWN to [1, 0] (unlike DuckDB's empty generate_series) and would
+    # index element_at out of bounds
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document contamination counters: every ``corpus`` row as
+    (``id_col``, n_ngrams, contam_hits) — distinct n-grams in the doc and
+    how many of them occur anywhere in ``benchmarks``. Zero-gram documents
+    (shorter than ``n`` tokens, empty, NULL) report (0, 0). Nothing is
+    dropped here; ``decontaminate`` applies the keep/flag policy, and
+    fraction-based policies (hits/n_ngrams) compose on top of this frame.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bcol = bench_text_col or text_col
+    bench_keys = (
+        benchmarks
+        .select(F.explode(_gram_array(bcol, n)).alias("gram"))
+        .select(F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    with_grams = corpus.select(
+        F.col(id_col), _gram_array(text_col, n).alias("grams"))
+    hits = (
+        with_grams
+        .select(id_col, F.explode("grams").alias("gram"))
+        .select(id_col, F.md5("gram").alias("gh"))
+        .join(F.broadcast(bench_keys), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contam_hits"))
+    )
+    return (
+        with_grams.select(id_col, F.size("grams").alias("n_ngrams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col, "n_ngrams",
+            F.coalesce("contam_hits", F.lit(0)).alias("contam_hits"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    *,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, dirty) split of ``corpus``: dirty rows share at least
+    ``min_hits`` distinct ``n``-grams with the benchmark set and carry
+    their (contam_hits, n_ngrams) counters for the audit trail; clean rows
+    keep the input column set unchanged. Every input row lands in exactly
+    one side."""
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    counts = contamination(
+        corpus, benchmarks, n=n, id_col=id_col, text_col=text_col,
+        bench_text_col=bench_text_col)
+    dirty_ids = counts.where(F.col("contam_hits") >= min_hits)
+    dirty = corpus.join(dirty_ids, id_col)
+    clean = corpus.join(
+        dirty_ids.select(id_col), id_col, "left_anti")
+    return clean, dirty

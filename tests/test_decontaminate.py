@@ -1,0 +1,154 @@
+"""Benchmark decontamination (ops/decontaminate.py): GPT-3-style n-gram
+collision against an eval set. DuckDB-oracle verified (same rigor as the
+registry oracles; the 50-slot registry is full), plus plan gates for the
+broadcast shape and policy/edge properties."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark.ops.decontaminate import contamination, decontaminate
+
+
+def _mk_corpus():
+    rows = []
+    for i in range(40):
+        words = [f"palavra{i}w{j * 7 % 29}" for j in range(60)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, "curto demais para treze grams"))   # < n tokens
+    rows.append((101, ""))                                # empty
+    rows.append((102, None))                              # NULL text
+    # repetition spam: the SAME contaminated window repeated 10x must
+    # count once (distinct grams per doc)
+    return rows
+
+
+def _mk_benchmarks(corpus_rows):
+    # benchmark docs = 13-token windows sliced out of corpus docs 3 and 7
+    # (guaranteed collisions), plus unrelated clean text
+    w3 = corpus_rows[3][1].split()[10:23]
+    w7 = corpus_rows[7][1].split()[0:13]
+    return [
+        (0, "Qual a capital do estado? " + " ".join(w3)),
+        (1, " ".join(w7)),
+        (2, "texto de benchmark totalmente independente sem colisao"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    corpus_rows = _mk_corpus()
+    spam_window = " ".join(corpus_rows[3][1].split()[10:23])
+    corpus_rows.append((103, (spam_window + " ") * 10))
+    bench_rows = _mk_benchmarks(corpus_rows)
+    cpdf = pd.DataFrame(corpus_rows, columns=["doc_id", "text"])
+    bpdf = pd.DataFrame(bench_rows, columns=["doc_id", "text"])
+    return (
+        spark.createDataFrame(cpdf, "doc_id long, text string"),
+        spark.createDataFrame(bpdf, "doc_id long, text string"),
+        cpdf, bpdf,
+    )
+
+
+def test_contamination_vs_duckdb_oracle(frames):
+    import duckdb
+
+    corpus, bench, cpdf, bpdf = frames
+    got = [(r["doc_id"], r["n_ngrams"], r["contam_hits"])
+           for r in contamination(corpus, bench, n=13)
+           .orderBy("doc_id").collect()]
+
+    con = duckdb.connect()
+    con.register("corpus", cpdf)
+    con.register("bench", bpdf)
+    want = con.sql(r"""
+        WITH ctoks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS toks
+          FROM corpus),
+        cg AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 12, 0)),
+                   i -> array_to_string(list_slice(toks, i, i + 12), ' ')))
+                   AS grams
+          FROM ctoks),
+        cgrams AS (SELECT doc_id, unnest(grams) AS gram FROM cg),
+        btoks AS (
+          SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS toks
+          FROM bench),
+        bgrams AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 12, 0)),
+                   i -> array_to_string(list_slice(toks, i, i + 12), ' '))))
+                   AS gram
+          FROM btoks),
+        hits AS (
+          SELECT doc_id, count(*) AS c
+          FROM cgrams JOIN bgrams USING (gram) GROUP BY doc_id)
+        SELECT cg.doc_id,
+               coalesce(len(cg.grams), 0) AS n_ngrams,
+               coalesce(h.c, 0) AS c
+        FROM cg LEFT JOIN hits h USING (doc_id)
+        ORDER BY cg.doc_id
+    """).fetchall()
+    assert got == want
+    by_id = dict((d, (g, h)) for d, g, h in got)
+    # the sliced windows really collided, clean prose really did not
+    assert by_id[3][1] >= 1 and by_id[7][1] >= 1
+    assert by_id[0][1] == 0
+    # short/empty/NULL docs carry no grams and are clean
+    for d in (100, 101, 102):
+        assert by_id[d] == (0, 0)
+    # repetition spam counts each distinct gram once: doc 103 repeats ONE
+    # 13-token window 10x; its distinct grams are the window's rotations,
+    # far fewer than the ~118 raw positions
+    assert by_id[103][0] < 30
+
+
+def test_decontaminate_split_policy(frames):
+    corpus, bench, _, _ = frames
+    clean, dirty = decontaminate(corpus, bench, n=13, min_hits=1)
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    dirty_rows = {r["doc_id"]: r for r in dirty.collect()}
+    # exactly-one-side partition of the input
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert clean_ids | set(dirty_rows) == all_ids
+    assert clean_ids & set(dirty_rows) == set()
+    assert {3, 7, 103} <= set(dirty_rows)
+    assert {0, 100, 101, 102} <= clean_ids
+    # audit columns ride on the dirty side; clean keeps the input columns
+    assert dirty_rows[3]["contam_hits"] >= 1
+    assert set(clean.columns) == {"doc_id", "text"}
+    # a stricter min_hits keeps borderline docs
+    hits3 = dirty_rows[3]["contam_hits"]
+    clean2, dirty2 = decontaminate(corpus, bench, n=13,
+                                   min_hits=hits3 + 1)
+    ids2 = {r["doc_id"] for r in dirty2.select("doc_id").collect()}
+    assert 3 not in ids2
+
+
+def test_decontaminate_plan_gates(frames):
+    corpus, bench, _, _ = frames
+    counts = contamination(corpus, bench, n=13)
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    # benchmark keys broadcast to the corpus-side probe; the corpus is
+    # never cartesian-joined or broadcast itself
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the (doc_id, hits) aggregation combines map-side before its exchange
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_decontaminate_validation(frames):
+    corpus, bench, _, _ = frames
+    with pytest.raises(ValueError):
+        contamination(corpus, bench, n=0)
+    with pytest.raises(ValueError):
+        decontaminate(corpus, bench, min_hits=0)
