@@ -44,6 +44,17 @@ _MESSY_URL_SQL = """
 """
 
 
+def host_of(url: Column) -> Column:
+    """Lowercased host of ``url`` (empty string when no scheme://host
+    prefix parses). The host capture stops at '/', '?' AND '#' so pathless
+    urls (https://site.com), query-only urls (...com?id=9) and fragment
+    urls key under their real host, never under ''. Shared by the
+    streaming per-host counters and the host-cap mixing operator — one
+    definition, so keys can never drift between them."""
+    return F.lower(F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1))
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form of ``url`` per the frozen spec — pyspark builtins only
     (regexp + array HOFs; stays in whole-stage codegen). The host capture

@@ -178,13 +178,9 @@ def host_stats_stream(
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     results = pages.select("url", "html", "text").mapInPandas(
         _extract_batches(ExtractConfig()), schema=RESULTS_WITH_PID)
-    # host stops at '/', '?' AND '#' (the ops/urls.py character class):
-    # pathless urls (https://site.com), query-only urls (...com?id=9) and
-    # mixed-case schemes must key under their real host, not under ''
-    keyed = results.withColumn(
-        "host",
-        F.lower(F.regexp_extract(
-            "url", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)))
+    from pii_spark.ops.urls import host_of  # noqa: PLC0415
+
+    keyed = results.withColumn("host", host_of(F.col("url")))
 
     stats = keyed.groupBy("host").applyInPandasWithState(
         update, out_schema, state_schema, "update",
