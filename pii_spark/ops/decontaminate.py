@@ -57,14 +57,37 @@ def _gram_array(text_col: str, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def benchmark_gram_keys(
+    benchmarks: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """The persistable decontamination artifact: one ``gh`` column of
+    distinct md5 n-gram keys over the benchmark set. Eval suites change
+    rarely while crawl increments arrive continuously — write this once
+    per benchmark release (plain parquet; it broadcasts, so no bucketing
+    needed) and pass it to ``contamination(..., bench_keys=...)`` to skip
+    re-gramming the benchmarks on every increment. Append new suites'
+    keys as they adopt; duplicate keys across suites are harmless (the
+    probe re-distincts)."""
+    return (
+        benchmarks
+        .select(F.explode(_gram_array(text_col, n)).alias("gram"))
+        .select(F.md5("gram").alias("gh"))
+        .distinct()
+    )
+
+
 def contamination(
     corpus: DataFrame,
-    benchmarks: DataFrame,
+    benchmarks: DataFrame | None = None,
     *,
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str | None = None,
+    bench_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document contamination counters: every ``corpus`` row as
     (``id_col``, n_ngrams, contam_hits) — distinct n-grams in the doc and
@@ -72,16 +95,24 @@ def contamination(
     (shorter than ``n`` tokens, empty, NULL) report (0, 0). Nothing is
     dropped here; ``decontaminate`` applies the keep/flag policy, and
     fraction-based policies (hits/n_ngrams) compose on top of this frame.
+
+    Pass EITHER ``benchmarks`` (text; grammed here) or ``bench_keys`` (a
+    persisted ``benchmark_gram_keys`` artifact — the incremental path;
+    ``n`` must then match the value the artifact was built with, which
+    the caller owns because a key frame carries no gram text to
+    re-derive it from).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    bcol = bench_text_col or text_col
-    bench_keys = (
-        benchmarks
-        .select(F.explode(_gram_array(bcol, n)).alias("gram"))
-        .select(F.md5("gram").alias("gh"))
-        .distinct()
-    )
+    if (benchmarks is None) == (bench_keys is None):
+        raise ValueError(
+            "pass exactly one of benchmarks (text) or bench_keys "
+            "(persisted benchmark_gram_keys artifact)")
+    if bench_keys is None:
+        bench_keys = benchmark_gram_keys(
+            benchmarks, n=n, text_col=bench_text_col or text_col)
+    else:
+        bench_keys = bench_keys.select("gh").distinct()
     with_grams = corpus.select(
         F.col(id_col), _gram_array(text_col, n).alias("grams"))
     hits = (
@@ -104,13 +135,14 @@ def contamination(
 
 def decontaminate(
     corpus: DataFrame,
-    benchmarks: DataFrame,
+    benchmarks: DataFrame | None = None,
     *,
     n: int = 13,
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str | None = None,
+    bench_keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, dirty) split of ``corpus``: dirty rows share at least
     ``min_hits`` distinct ``n``-grams with the benchmark set and carry
@@ -121,7 +153,7 @@ def decontaminate(
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
     counts = contamination(
         corpus, benchmarks, n=n, id_col=id_col, text_col=text_col,
-        bench_text_col=bench_text_col)
+        bench_text_col=bench_text_col, bench_keys=bench_keys)
     dirty_ids = counts.where(F.col("contam_hits") >= min_hits)
     dirty = corpus.join(dirty_ids, id_col)
     clean = corpus.join(

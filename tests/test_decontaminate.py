@@ -9,7 +9,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from pii_spark.ops.decontaminate import contamination, decontaminate
+from pii_spark.ops.decontaminate import (
+    benchmark_gram_keys, contamination, decontaminate)
 
 
 def _mk_corpus():
@@ -152,3 +153,47 @@ def test_decontaminate_validation(frames):
         contamination(corpus, bench, n=0)
     with pytest.raises(ValueError):
         decontaminate(corpus, bench, min_hits=0)
+
+
+def test_bench_keys_artifact_parity(frames, tmp_path):
+    """The incremental path — a persisted benchmark_gram_keys artifact —
+    must produce row-identical contamination counters and the identical
+    clean/dirty split as gramming the benchmark text inline."""
+    corpus, bench, _, _ = frames
+    spark = corpus.sparkSession
+
+    keys = benchmark_gram_keys(bench, n=13)
+    assert keys.columns == ["gh"]
+    # round-trip through parquet: the artifact is what production persists
+    path = str(tmp_path / "bench_keys")
+    keys.write.parquet(path)
+    keys_rt = spark.read.parquet(path)
+
+    inline = contamination(corpus, bench, n=13).orderBy("doc_id").collect()
+    via_keys = (contamination(corpus, bench_keys=keys_rt, n=13)
+                .orderBy("doc_id").collect())
+    assert inline == via_keys
+
+    c1, d1 = decontaminate(corpus, bench, n=13, min_hits=1)
+    c2, d2 = decontaminate(corpus, bench_keys=keys_rt, n=13, min_hits=1)
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert ids(c1) == ids(c2) and ids(d1) == ids(d2)
+
+    # appending a second suite's keys (with overlap) is the incremental
+    # update story: duplicates across suites must not double-count hits
+    keys_rt.write.mode("append").parquet(path)
+    doubled = spark.read.parquet(path)
+    via_doubled = (contamination(corpus, bench_keys=doubled, n=13)
+                   .orderBy("doc_id").collect())
+    assert inline == via_doubled
+
+
+def test_bench_keys_xor_benchmarks(frames):
+    corpus, bench, _, _ = frames
+    keys = benchmark_gram_keys(bench, n=13)
+    with pytest.raises(ValueError, match="exactly one"):
+        contamination(corpus, bench, bench_keys=keys)
+    with pytest.raises(ValueError, match="exactly one"):
+        contamination(corpus)
+    with pytest.raises(ValueError, match="exactly one"):
+        decontaminate(corpus, bench, bench_keys=keys)
