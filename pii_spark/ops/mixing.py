@@ -9,21 +9,36 @@ partition-invariant preference order (content-hash of the doc key, the
 ``train_val_split`` idiom — never ``rand()``), so the same corpus capped
 on any cluster size keeps exactly the same documents.
 
+``sample_mixture`` is the mixture assembly step itself: given per-source
+token budgets (the published LLM recipe — N tokens of web, M of books,
+...), deterministically downsample each source to its budget.
+
 The reference engine has no training-mix tooling; this belongs to the
 LLM-data-pipeline family the engine adds (dedup / decontamination /
 sampling), not to a reference file.
 
-100 TB shape (skew is the whole point of this operator, so it must not
-recreate it):
+100 TB shape (skew is the whole point of these operators, so they must
+not recreate it):
 
-* Phase 1 reduces the corpus to skinny (host, doc_id, n_tok) rows and
-  finds hosts whose TOTAL exceeds the cap — a partial-agg groupBy; text
-  never moves.
-* Phase 2 ranks only OFFENDING hosts' rows (left_semi prune) with a
-  running-sum window. The window shuffles skinny triples of the few
-  over-cap hosts, not the corpus; a mega-host with 10^8 docs windows
-  ~3 GB of triples, not its terabytes of text.
-* The final assembly is an id-only anti-join against the loser set.
+* ``cap_host_tokens`` phase 1 reduces the corpus to skinny
+  (host, doc_id, n_tok) rows and finds hosts whose TOTAL exceeds the
+  cap — a partial-agg groupBy; text never moves. Phase 2 ranks only
+  OFFENDING hosts' rows (left_semi prune) with a running-sum window. The
+  window shuffles skinny triples of the few over-cap hosts, not the
+  corpus; a mega-host with 10^8 docs windows ~3 GB of triples, not its
+  terabytes of text. The final assembly is an id-only anti-join against
+  the loser set.
+* ``sample_mixture`` cannot use the host-cap prune (EVERY source is
+  expected to exceed its budget — downsampling is the point, and a
+  source can be 90% of the corpus, so one window partition per source
+  would put the whole web slice through one task). It decomposes by
+  rank-key prefix instead: 4096 hash buckets per source, a cumulative
+  sum over the TINY per-(source, bucket) token totals locates the one
+  boundary bucket per source, whole buckets before it keep without
+  ranking, whole buckets after it drop without ranking, and only the
+  ~1/4096 slice inside the boundary bucket is ever windowed. Exactness
+  is free: the bucket is a PREFIX of the doc rank key, so bucket order
+  refines into the same global hash order the naive window would use.
 """
 
 from __future__ import annotations
@@ -103,6 +118,142 @@ def cap_host_tokens(
         .where(F.col("host_cum_tok") > max_tokens_per_host)
         .select(id_col, "n_tok", "host_cum_tok")
     )
+    kept = docs.join(losers.select(id_col), id_col, "left_anti")
+    dropped = docs.join(losers, id_col)
+    return kept, dropped
+
+
+def _mixture_buckets(skinny: DataFrame, budget_df: DataFrame) -> DataFrame:
+    """Per-(source, bucket) token totals with running cumulative sums and
+    the source budget attached — the tiny frame (≤ 4096 rows per listed
+    source) that locates each source's boundary bucket. Split out so the
+    tests can pin the ≤-one-boundary-bucket-per-source invariant."""
+    w_b = (
+        Window.partitionBy("__s").orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        skinny.groupBy("__s", "__bkt").agg(F.sum("n_tok").alias("__btok"))
+        .withColumn("__bcum", F.sum("__btok").over(w_b))
+        .withColumn("__bprev", F.col("__bcum") - F.col("__btok"))
+        .join(budget_df, F.col("__s").eqNullSafe(F.col("__s_b")))
+    )
+
+
+def sample_mixture(
+    docs: DataFrame,
+    budgets: dict[str | None, int],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(sampled, dropped) split of ``docs``: per source, keep documents
+    in content-hash order until the source's token budget is met — the
+    mixture-assembly step of a training run (N tokens of web, M of books,
+    ...). ``dropped`` carries (n_tok, src_cum_tok, drop_reason) for the
+    audit trail.
+
+    Semantics (frozen, mirrored by the DuckDB oracle in
+    tests/test_mixing.py):
+
+    * tokens = whitespace-separated words; NULL text counts as zero
+      tokens (the ``curate`` rule);
+    * order within a source = ascending ``md5(id:seed)``, ties broken by
+      the id — deterministic for any partitioning/cluster size (the
+      ``cap_host_tokens`` idiom, never ``rand()``);
+    * a document is kept iff its INCLUSIVE running token total ``<=`` the
+      source's budget — so zero-token docs are kept even at budget 0, and
+      a single doc larger than the whole budget is dropped;
+    * sources ABSENT from ``budgets`` are dropped entirely
+      (``drop_reason = 'unlisted_source'``) — the budgets dict IS the
+      mix, and a source leaking through unlisted would silently corrupt
+      the recipe. Pass ``None`` as a dict key to budget the NULL-source
+      bucket;
+    * a source whose total is under its budget keeps everything — no
+      upsampling here (derive epoch factors from the kept totals);
+    * ``src_cum_tok`` is exact for documents dropped inside the boundary
+      bucket and NULL for documents in buckets wholly past the budget —
+      materializing exact ranks for the tail would mean windowing the
+      very slice the bucket decomposition exists to skip.
+
+    Scale shape: see the module docstring — only ~1/4096 of each source
+    (its boundary bucket) is ever ranked by the doc-level window; whole
+    buckets before/after the boundary keep/drop via a broadcast join of
+    the tiny bucket frame.
+    """
+    if not budgets:
+        raise ValueError(
+            "budgets must be a non-empty {source: token_budget} dict")
+    for s, b in budgets.items():
+        if isinstance(b, bool) or not isinstance(b, int) or b < 0:
+            raise ValueError(
+                f"budget for source {s!r} must be an int >= 0, got {b!r}")
+    toks = F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+    n_tok = F.when(F.col(text_col).isNull(), F.lit(0)) \
+        .otherwise(F.size(toks))
+    rank_key = F.md5(F.concat(F.col(id_col).cast("string"),
+                              F.lit(f":{seed}")))
+    skinny = docs.select(
+        F.col(source_col).cast("string").alias("__s"),
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        rank_key.alias("__rk"),
+        # the bucket is a PREFIX of the rank key, so bucket order refines
+        # into exactly the global hash order the naive window would use
+        F.conv(F.substring(rank_key, 1, 3), 16, 10)
+        .cast("int").alias("__bkt"),
+    )
+    budget_df = docs.sparkSession.createDataFrame(
+        list(budgets.items()), "__s_b string, __budget long")
+
+    unlisted = skinny.join(
+        budget_df, skinny["__s"].eqNullSafe(budget_df["__s_b"]), "left_anti")
+
+    buckets = _mixture_buckets(skinny, budget_df)
+    boundary = (
+        buckets.where((F.col("__bprev") <= F.col("__budget"))
+                      & (F.col("__bcum") > F.col("__budget")))
+        .select(F.col("__s").alias("__s_y"), F.col("__bkt").alias("__bkt_y"),
+                (F.col("__budget") - F.col("__bprev")).alias("__rem"),
+                "__bprev")
+    )
+    tail = (
+        buckets.where(F.col("__bprev") > F.col("__budget"))
+        .select(F.col("__s").alias("__s_t"), F.col("__bkt").alias("__bkt_t"))
+    )
+
+    w_d = (
+        Window.partitionBy("__s", "__bkt")
+        .orderBy(F.col("__rk").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary_losers = (
+        skinny.join(
+            F.broadcast(boundary),
+            skinny["__s"].eqNullSafe(F.col("__s_y"))
+            & (skinny["__bkt"] == F.col("__bkt_y")))
+        .withColumn("__c", F.sum("n_tok").over(w_d))
+        .where(F.col("__c") > F.col("__rem"))
+        .select(id_col, "n_tok",
+                (F.col("__bprev") + F.col("__c")).alias("src_cum_tok"),
+                F.lit("over_budget").alias("drop_reason"))
+    )
+    tail_losers = (
+        skinny.join(
+            F.broadcast(tail),
+            skinny["__s"].eqNullSafe(F.col("__s_t"))
+            & (skinny["__bkt"] == F.col("__bkt_t")), "left_semi")
+        .select(id_col, "n_tok",
+                F.lit(None).cast("long").alias("src_cum_tok"),
+                F.lit("over_budget").alias("drop_reason"))
+    )
+    losers = boundary_losers.unionByName(tail_losers).unionByName(
+        unlisted.select(
+            id_col, "n_tok",
+            F.lit(None).cast("long").alias("src_cum_tok"),
+            F.lit("unlisted_source").alias("drop_reason")))
     kept = docs.join(losers.select(id_col), id_col, "left_anti")
     dropped = docs.join(losers, id_col)
     return kept, dropped

@@ -165,3 +165,191 @@ def test_cap_validation_and_host_of(spark, corpus):
     got = [r["h"] for r in urls.select(host_of(F.col("url")).alias("h"))
            .collect()]
     assert got == ["www.site.com", "site.com", "host.org", ""]
+
+
+# ---------------------------------------------------------------------------
+# sample_mixture — per-source token-budget mixture assembly
+# ---------------------------------------------------------------------------
+
+from pii_spark.ops.mixing import _mixture_buckets, sample_mixture  # noqa: E402
+
+BUDGETS = {"web": 900, "books": 400, None: 120, "code": 10_000}
+MIX_SEED = 11
+
+
+def _mix_corpus():
+    rows = []
+    did = 0
+    # web: 60 docs x 25 tokens = 1500 > 900 budget (downsampled)
+    for i in range(60):
+        rows.append((did, "web", " ".join(f"w{did}t{j}" for j in range(25))))
+        did += 1
+    # books: 30 docs x 40 = 1200 > 400 (heavily downsampled)
+    for i in range(30):
+        rows.append((did, "books", " ".join(f"b{did}t{j}" for j in range(40))))
+        did += 1
+    # NULL source: 10 docs x 20 = 200 > 120 (the unparseable bucket, budgeted)
+    for i in range(10):
+        rows.append((did, None, " ".join(f"n{did}t{j}" for j in range(20))))
+        did += 1
+    # code: 5 docs x 30 = 150 < 10000 budget (under budget, all kept)
+    for i in range(5):
+        rows.append((did, "code", " ".join(f"c{did}t{j}" for j in range(30))))
+        did += 1
+    # forums: NOT in budgets — dropped wholesale
+    for i in range(7):
+        rows.append((did, "forums", " ".join(f"f{did}t{j}" for j in range(15))))
+        did += 1
+    # zero-token docs: NULL text on web, empty text on books
+    rows.append((did, "web", None)); did += 1
+    rows.append((did, "books", "")); did += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def mix_corpus(spark):
+    pdf = pd.DataFrame(_mix_corpus(), columns=["doc_id", "source", "text"])
+    return (spark.createDataFrame(
+        pdf, "doc_id long, source string, text string"), pdf)
+
+
+def _oracle(pdf):
+    """DuckDB derivation of the frozen semantics: global per-source hash
+    order, inclusive running total <= budget keeps."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    rows = con.sql(rf"""
+        WITH b(src, budget) AS (
+          VALUES ('web', 900), ('books', 400), (NULL, 120), ('code', 10000)),
+        toks AS (
+          SELECT doc_id, source,
+                 CASE WHEN text IS NULL THEN 0
+                      ELSE len(list_filter(string_split_regex(text, '\s+'),
+                                           t -> t <> '')) END AS n_tok
+          FROM docs),
+        cum AS (
+          SELECT doc_id, source, n_tok,
+                 sum(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{MIX_SEED}'),
+                            doc_id
+                   ROWS UNBOUNDED PRECEDING) AS c
+          FROM toks)
+        SELECT cum.doc_id, cum.n_tok, cum.c, b.budget
+        FROM cum JOIN b ON cum.source IS NOT DISTINCT FROM b.src
+    """).fetchall()
+    kept = {d for d, n, c, bud in rows if c <= bud}
+    over = {d: (n, c) for d, n, c, bud in rows if c > bud}
+    listed = {d for d, *_ in rows}
+    unlisted = set(pdf["doc_id"]) - listed
+    return kept, over, unlisted
+
+
+def test_sample_mixture_vs_duckdb_oracle(mix_corpus):
+    df, pdf = mix_corpus
+    kept, dropped = sample_mixture(df, BUDGETS, seed=MIX_SEED)
+    got_kept = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    got_dropped = {r["doc_id"]: r for r in dropped.collect()}
+
+    want_kept, want_over, want_unlisted = _oracle(pdf)
+    assert got_kept == want_kept
+    assert set(got_dropped) == set(want_over) | want_unlisted
+    # exactly-one-side partition of the input
+    assert got_kept | set(got_dropped) == set(pdf["doc_id"])
+    assert got_kept & set(got_dropped) == set()
+    # audit columns: unlisted sources are labeled; over-budget docs carry
+    # the EXACT cumulative wherever it was materialized (boundary bucket)
+    for d in want_unlisted:
+        assert got_dropped[d]["drop_reason"] == "unlisted_source"
+        assert got_dropped[d]["src_cum_tok"] is None
+    for d, (n, c) in want_over.items():
+        r = got_dropped[d]
+        assert r["drop_reason"] == "over_budget"
+        assert r["n_tok"] == n
+        if r["src_cum_tok"] is not None:
+            assert r["src_cum_tok"] == c
+    # at least the boundary-bucket losers DO carry exact cums
+    assert any(got_dropped[d]["src_cum_tok"] is not None for d in want_over)
+
+
+def test_sample_mixture_semantics(mix_corpus):
+    df, pdf = mix_corpus
+    kept, _ = sample_mixture(df, BUDGETS, seed=MIX_SEED)
+    kpdf = kept.toPandas()
+    n_tok = kpdf["text"].map(lambda t: 0 if t is None else len(t.split()))
+    by_src = n_tok.groupby(
+        kpdf["source"].map(lambda s: s if s is not None else "<null>")).sum()
+    # every downsampled source lands within budget
+    assert by_src.get("web", 0) <= 900
+    assert by_src.get("books", 0) <= 400
+    assert by_src.get("<null>", 0) <= 120
+    # an under-budget source keeps everything
+    code_ids = set(pdf[pdf["source"] == "code"]["doc_id"])
+    assert code_ids <= set(kpdf["doc_id"])
+    # unlisted sources vanish from the kept side
+    assert "forums" not in set(kpdf["source"])
+    # budgets actually bit: each downsampled source kept SOME but not all
+    for src in ("web", "books"):
+        total = set(pdf[pdf["source"] == src]["doc_id"])
+        kept_ids = set(kpdf[kpdf["source"] == src]["doc_id"])
+        assert 0 < len(kept_ids) < len(total), src
+
+
+def test_sample_mixture_partition_invariance(mix_corpus):
+    df, _ = mix_corpus
+    a, _ = sample_mixture(df.repartition(1), BUDGETS, seed=MIX_SEED)
+    b, _ = sample_mixture(df.repartition(13, "doc_id"), BUDGETS,
+                          seed=MIX_SEED)
+    assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in b.select("doc_id").collect())
+
+
+def test_sample_mixture_boundary_bucket_invariant(mix_corpus):
+    """The bucket decomposition must isolate AT MOST ONE boundary bucket
+    per source — that bucket's rows are the only ones the doc-level
+    window ever ranks, the heart of the scale claim."""
+    df, _ = mix_corpus
+    spark = df.sparkSession
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n_tok = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(toks))
+    rk = F.md5(F.concat(F.col("doc_id").cast("string"),
+                        F.lit(f":{MIX_SEED}")))
+    skinny = df.select(
+        F.col("source").cast("string").alias("__s"), "doc_id",
+        n_tok.alias("n_tok"), rk.alias("__rk"),
+        F.conv(F.substring(rk, 1, 3), 16, 10).cast("int").alias("__bkt"))
+    budget_df = spark.createDataFrame(
+        list(BUDGETS.items()), "__s_b string, __budget long")
+    buckets = _mixture_buckets(skinny, budget_df)
+    boundary = buckets.where(
+        (F.col("__bprev") <= F.col("__budget"))
+        & (F.col("__bcum") > F.col("__budget")))
+    per_src = boundary.groupBy("__s").count().collect()
+    assert all(r["count"] <= 1 for r in per_src)
+    # and a downsampled source really has one (the budget bites mid-source)
+    assert {r["__s"] for r in boundary.collect()} >= {"web", "books"}
+
+
+def test_sample_mixture_zero_budget_and_validation(mix_corpus, spark):
+    df, pdf = mix_corpus
+    # budget 0: only zero-token docs whose hash-prefix neighbors are also
+    # zero-token can survive; every kept doc has zero tokens
+    kept, dropped = sample_mixture(df, {"web": 0}, seed=MIX_SEED)
+    for r in kept.collect():
+        assert r["source"] == "web"
+        assert r["text"] is None or r["text"].split() == []
+    # all non-web rows dropped as unlisted
+    reasons = {r["doc_id"]: r["drop_reason"] for r in dropped.collect()}
+    for d in pdf[pdf["source"] != "web"]["doc_id"]:
+        if d in reasons:
+            assert reasons[d] == "unlisted_source"
+    with pytest.raises(ValueError):
+        sample_mixture(df, {})
+    with pytest.raises(ValueError):
+        sample_mixture(df, {"web": -1})
+    with pytest.raises(ValueError):
+        sample_mixture(df, {"web": True})
+    with pytest.raises(ValueError):
+        sample_mixture(df, {"web": 1.5})
