@@ -43,8 +43,25 @@ not recreate it):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _n_tok(text_col: str) -> Column:
+    """Whitespace word count; NULL text counts as zero tokens (the
+    ``curate`` rule — a NULL must not make predicates silently pass)."""
+    toks = F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+    return F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(toks))
+
+
+def _check_budgets(budgets: dict[str | None, int]) -> None:
+    if not budgets:
+        raise ValueError(
+            "budgets must be a non-empty {source: token_budget} dict")
+    for s, b in budgets.items():
+        if isinstance(b, bool) or not isinstance(b, int) or b < 0:
+            raise ValueError(
+                f"budget for source {s!r} must be an int >= 0, got {b!r}")
 
 
 def cap_host_tokens(
@@ -83,11 +100,9 @@ def cap_host_tokens(
     if max_tokens_per_host < 0:
         raise ValueError(
             f"max_tokens_per_host must be >= 0, got {max_tokens_per_host}")
-    toks = F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
-    n_tok = F.when(F.col(text_col).isNull(), F.lit(0)) \
-        .otherwise(F.size(toks))
     skinny = docs.select(
-        F.col(host_col).alias("__h"), F.col(id_col), n_tok.alias("n_tok"))
+        F.col(host_col).alias("__h"), F.col(id_col),
+        _n_tok(text_col).alias("n_tok"))
 
     over = (
         skinny.groupBy("__h")
@@ -183,22 +198,13 @@ def sample_mixture(
     buckets before/after the boundary keep/drop via a broadcast join of
     the tiny bucket frame.
     """
-    if not budgets:
-        raise ValueError(
-            "budgets must be a non-empty {source: token_budget} dict")
-    for s, b in budgets.items():
-        if isinstance(b, bool) or not isinstance(b, int) or b < 0:
-            raise ValueError(
-                f"budget for source {s!r} must be an int >= 0, got {b!r}")
-    toks = F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
-    n_tok = F.when(F.col(text_col).isNull(), F.lit(0)) \
-        .otherwise(F.size(toks))
+    _check_budgets(budgets)
     rank_key = F.md5(F.concat(F.col(id_col).cast("string"),
                               F.lit(f":{seed}")))
     skinny = docs.select(
         F.col(source_col).cast("string").alias("__s"),
         F.col(id_col),
-        n_tok.alias("n_tok"),
+        _n_tok(text_col).alias("n_tok"),
         rank_key.alias("__rk"),
         # the bucket is a PREFIX of the rank key, so bucket order refines
         # into exactly the global hash order the naive window would use
@@ -257,3 +263,67 @@ def sample_mixture(
     kept = docs.join(losers.select(id_col), id_col, "left_anti")
     dropped = docs.join(losers, id_col)
     return kept, dropped
+
+
+def mixture_report(
+    docs: DataFrame,
+    sampled: DataFrame,
+    budgets: dict[str | None, int],
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source accounting of a ``sample_mixture`` run: one row per
+    LISTED source with
+
+    * ``budget_tok`` — the requested budget;
+    * ``available_tok`` / ``total_docs`` — what ``docs`` held;
+    * ``achieved_tok`` / ``kept_docs`` — what ``sampled`` kept (less than
+      the budget by at most one document's tokens when the budget bit,
+      equal to ``available_tok`` when it did not);
+    * ``epochs_to_budget`` — ``budget_tok / available_tok``: how many
+      passes over the FULL source the budget represents (the
+      published-recipe idiom — a scarce books/wiki source repeats with
+      epochs > 1 while abundant web stays < 1 pass); NULL when the
+      source holds no tokens.
+
+    A listed source absent from ``docs`` still reports (0 available, 0
+    achieved) — a typo'd source name in the recipe surfaces as a zero
+    row, not a silently missing one.
+
+    Scale shape: two partial-agg groupBys over (source, n_tok) pairs —
+    text never shuffles — joined onto the tiny budget frame.
+    """
+    _check_budgets(budgets)
+
+    def _tots(df: DataFrame, tok_name: str, doc_name: str) -> DataFrame:
+        return (
+            df.select(F.col(source_col).cast("string").alias("__s"),
+                      _n_tok(text_col).alias("n_tok"))
+            .groupBy("__s")
+            .agg(F.sum("n_tok").alias(tok_name),
+                 F.count("*").alias(doc_name))
+        )
+
+    budget_df = docs.sparkSession.createDataFrame(
+        list(budgets.items()), "source string, budget_tok long")
+    avail = _tots(docs, "available_tok", "total_docs")
+    ach = _tots(sampled, "achieved_tok", "kept_docs")
+    avail_r = avail.withColumnRenamed("__s", "__s_a")
+    ach_r = ach.withColumnRenamed("__s", "__s_k")
+    return (
+        budget_df
+        .join(avail_r, F.col("source").eqNullSafe(F.col("__s_a")), "left")
+        .join(ach_r, F.col("source").eqNullSafe(F.col("__s_k")), "left")
+        .select(
+            "source", "budget_tok",
+            F.coalesce("available_tok", F.lit(0)).alias("available_tok"),
+            F.coalesce("total_docs", F.lit(0)).alias("total_docs"),
+            F.coalesce("achieved_tok", F.lit(0)).alias("achieved_tok"),
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.when(F.coalesce(F.col("available_tok"), F.lit(0)) > 0,
+                   F.col("budget_tok")
+                   / F.coalesce("available_tok", F.lit(0)))
+            .alias("epochs_to_budget"),
+        )
+    )

@@ -353,3 +353,55 @@ def test_sample_mixture_zero_budget_and_validation(mix_corpus, spark):
         sample_mixture(df, {"web": True})
     with pytest.raises(ValueError):
         sample_mixture(df, {"web": 1.5})
+
+
+def test_mixture_report_vs_duckdb_oracle(mix_corpus):
+    """Report rows re-derive from the oracle's kept set: budget vs
+    available vs achieved, doc counts, and the epoch factor."""
+    import duckdb
+
+    from pii_spark.ops.mixing import mixture_report
+
+    df, pdf = mix_corpus
+    sampled, _ = sample_mixture(df, BUDGETS, seed=MIX_SEED)
+    budgets2 = dict(BUDGETS)
+    budgets2["wiki"] = 500  # listed but absent from the corpus
+    rep = {r["source"]: r for r in
+           mixture_report(df, sampled, budgets2).collect()}
+
+    want_kept, _, _ = _oracle(pdf)
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    con.register("keptids", pd.DataFrame({"doc_id": sorted(want_kept)}))
+    rows = con.sql(r"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 CASE WHEN text IS NULL THEN 0
+                      ELSE len(list_filter(string_split_regex(text, '\s+'),
+                                           t -> t <> '')) END AS n_tok
+          FROM docs)
+        SELECT source, sum(n_tok) AS avail, count(*) AS nd,
+               sum(CASE WHEN doc_id IN (FROM keptids) THEN n_tok ELSE 0 END)
+                 AS ach,
+               sum(CASE WHEN doc_id IN (FROM keptids) THEN 1 ELSE 0 END)
+                 AS kd
+        FROM toks GROUP BY source
+    """).fetchall()
+    want = {s: (a, nd, ach, kd) for s, a, nd, ach, kd in rows}
+
+    assert set(rep) == set(budgets2)  # one row per LISTED source, no more
+    for s, b in budgets2.items():
+        r = rep[s]
+        a, nd, ach, kd = want.get(s, (0, 0, 0, 0))
+        assert r["budget_tok"] == b
+        assert (r["available_tok"], r["total_docs"]) == (a, nd)
+        assert (r["achieved_tok"], r["kept_docs"]) == (ach, kd)
+        if a > 0:
+            assert r["epochs_to_budget"] == pytest.approx(b / a)
+        else:
+            assert r["epochs_to_budget"] is None
+    # the under-budget source really shows epochs > 1, downsampled < 1,
+    # and the absent source reports zeros instead of vanishing
+    assert rep["code"]["epochs_to_budget"] > 1
+    assert rep["web"]["epochs_to_budget"] < 1
+    assert rep["wiki"]["available_tok"] == 0 and rep["wiki"]["kept_docs"] == 0
