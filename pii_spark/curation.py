@@ -48,12 +48,18 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pii_spark.ops.decontaminate import contamination
 from pii_spark.ops.dedup import (
     _jaccard_on_candidates,
     _shingles,
     connected_components,
     line_dedup,
     normalized_fp,
+)
+from pii_spark.ops.mixing import (
+    _check_budgets,
+    cap_host_tokens,
+    sample_mixture,
 )
 from pii_spark.ops.textstats import dup_line_stats, ngram_repetition_stats
 
@@ -240,4 +246,116 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
             id_col, "text",
             F.coalesce("drop_reason", "_r3", "_r4").alias("drop_reason"),
         )
+    )
+
+
+@dataclass(frozen=True)
+class MixConfig:
+    """Knobs for ``assemble_mix`` — the post-curation training-mix plane.
+
+    ``budgets`` is the recipe itself ({source: token budget}; a ``None``
+    key budgets the NULL-source bucket). ``decontaminate_n = None``
+    disables the decontamination stage (then pass neither benchmarks nor
+    bench_keys); ``max_tokens_per_host = None`` disables the host cap.
+    """
+    budgets: dict[str | None, int]
+    decontaminate_n: int | None = 13
+    decontaminate_min_hits: int = 1
+    max_tokens_per_host: int | None = None
+    seed: int = 42
+
+    def __post_init__(self) -> None:
+        _check_budgets(self.budgets)
+        if self.decontaminate_n is not None and self.decontaminate_n < 1:
+            raise ValueError(
+                f"decontaminate_n must be >= 1, got {self.decontaminate_n}")
+        if self.decontaminate_min_hits < 1:
+            raise ValueError(
+                f"decontaminate_min_hits must be >= 1, got "
+                f"{self.decontaminate_min_hits}")
+        if (self.max_tokens_per_host is not None
+                and self.max_tokens_per_host < 0):
+            raise ValueError(
+                f"max_tokens_per_host must be >= 0, got "
+                f"{self.max_tokens_per_host}")
+
+
+def assemble_mix(
+    docs: DataFrame,
+    cfg: MixConfig,
+    *,
+    benchmarks: DataFrame | None = None,
+    bench_keys: DataFrame | None = None,
+    source_col: str = "source",
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The training-mix DAG that runs AFTER ``curate``: benchmark
+    decontamination → per-host token cap → per-source token budgets,
+    composed from the ``ops.decontaminate`` / ``ops.mixing`` operators
+    with the same single-frame audit contract as ``curate``: every input
+    doc id with its text and a ``drop_reason`` — NULL for docs in the
+    final mix, else the FIRST stage that killed it (``contaminated`` /
+    ``host_capped`` / ``over_budget`` / ``unlisted_source``).
+
+    Stage order is the production order: decontamination first (an
+    eval-leaky doc must not consume host or source budget someone else
+    could have used), domain balancing within sources next, the recipe
+    budgets last (so a budget is met with balanced, clean documents).
+    Feed ``where drop_reason is null`` to the tokenizer and
+    ``ops.mixing.mixture_report(docs_kept_by_earlier_stages, mix, ...)``
+    for the per-source accounting.
+
+    Fully lazy (no stage here needs a driver action); each stage's
+    shuffle discipline is its operator's own — broadcast gram keys, the
+    over-cap-host window prune, the boundary-bucket decomposition. The
+    benchmarks/bench_keys pair follows ``ops.decontaminate.contamination``
+    (exactly one when decontamination is on, neither when off).
+    """
+    if cfg.decontaminate_n is None and (
+            benchmarks is not None or bench_keys is not None):
+        raise ValueError(
+            "decontaminate_n is None but benchmarks/bench_keys was "
+            "passed — enable the stage or drop the argument")
+
+    d = docs.select(F.col(id_col), F.col(source_col).alias("__src"),
+                    F.col(host_col).alias("__host"),
+                    F.col(text_col).alias("text"))
+
+    losers: list[DataFrame] = []  # (id, reason) frames, stage order
+    live = d
+    if cfg.decontaminate_n is not None:
+        counts = contamination(
+            live, benchmarks, n=cfg.decontaminate_n, id_col=id_col,
+            text_col="text", bench_keys=bench_keys)
+        dirty = counts.where(
+            F.col("contam_hits") >= cfg.decontaminate_min_hits) \
+            .select(id_col, F.lit("contaminated").alias("reason"))
+        losers.append(dirty)
+        live = live.join(dirty.select(id_col), id_col, "left_anti")
+
+    if cfg.max_tokens_per_host is not None:
+        _, capped = cap_host_tokens(
+            live, cfg.max_tokens_per_host, host_col="__host",
+            id_col=id_col, text_col="text", seed=cfg.seed)
+        capped_ids = capped.select(
+            id_col, F.lit("host_capped").alias("reason"))
+        losers.append(capped_ids)
+        live = live.join(capped_ids.select(id_col), id_col, "left_anti")
+
+    _, over = sample_mixture(
+        live, cfg.budgets, source_col="__src", id_col=id_col,
+        text_col="text", seed=cfg.seed)
+    losers.append(over.select(
+        id_col, F.col("drop_reason").alias("reason")))
+
+    audit = losers[0]
+    for l in losers[1:]:
+        audit = audit.unionByName(l)
+    return (
+        d.join(audit, id_col, "left")
+        .select(id_col, F.col("__src").alias(source_col),
+                F.col("__host").alias(host_col), "text",
+                F.col("reason").alias("drop_reason"))
     )

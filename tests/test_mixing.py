@@ -405,3 +405,137 @@ def test_mixture_report_vs_duckdb_oracle(mix_corpus):
     assert rep["code"]["epochs_to_budget"] > 1
     assert rep["web"]["epochs_to_budget"] < 1
     assert rep["wiki"]["available_tok"] == 0 and rep["wiki"]["kept_docs"] == 0
+
+
+# ---------------------------------------------------------------------------
+# assemble_mix — the composed training-mix DAG (curation.py)
+# ---------------------------------------------------------------------------
+
+
+def _plane_corpus():
+    """Sources x hosts corpus with eval-contaminated docs: enough tokens
+    that every stage of the mix plane has work to do."""
+    rows = []
+    did = 0
+    for src, n_hosts, docs_per_host, toks in (
+            ("web", 4, 12, 30), ("books", 2, 8, 40)):
+        for h in range(n_hosts):
+            for i in range(docs_per_host):
+                rows.append((did, src, f"{src}-h{h}.example.com",
+                             " ".join(f"{src}{did}w{j}" for j in range(toks))))
+                did += 1
+    # contaminated docs: copy a 13-token window into the benchmark set
+    contaminated = [r[0] for r in rows[:3]] + [rows[60][0]]
+    # an unlisted source
+    for i in range(5):
+        rows.append((did, "forums", "f.example.com",
+                     " ".join(f"f{did}w{j}" for j in range(20))))
+        did += 1
+    return rows, contaminated
+
+
+@pytest.fixture(scope="module")
+def plane(spark):
+    rows, contaminated = _plane_corpus()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "host", "text"])
+    bench_rows = [
+        (i, "pergunta de avaliacao: " + " ".join(
+            pdf.loc[pdf["doc_id"] == d, "text"].iloc[0].split()[:13]))
+        for i, d in enumerate(contaminated)]
+    bench = pd.DataFrame(bench_rows, columns=["doc_id", "text"])
+    return (
+        spark.createDataFrame(
+            pdf, "doc_id long, source string, host string, text string"),
+        spark.createDataFrame(bench, "doc_id long, text string"),
+        pdf, set(contaminated),
+    )
+
+
+MIX_CFG_KW = dict(budgets={"web": 700, "books": 500},
+                  max_tokens_per_host=250, seed=5)
+
+
+def test_assemble_mix_differential_vs_manual_chain(plane):
+    """assemble_mix must equal chaining the three operators by hand —
+    each individually DuckDB-oracle-pinned — on survivors."""
+    from pii_spark.curation import MixConfig, assemble_mix
+    from pii_spark.ops.decontaminate import decontaminate
+
+    docs, bench, pdf, _ = plane
+    out = assemble_mix(docs, MixConfig(**MIX_CFG_KW), benchmarks=bench)
+    got = {r["doc_id"]: r["drop_reason"] for r in out.collect()}
+
+    clean, dirty = decontaminate(docs, bench, n=13, min_hits=1)
+    after_cap, capped = cap_host_tokens(
+        clean, 250, host_col="host", seed=5)
+    mix, over = sample_mixture(
+        after_cap, {"web": 700, "books": 500}, seed=5)
+    want = {r["doc_id"]: None for r in mix.collect()}
+    want |= {r["doc_id"]: "contaminated" for r in dirty.collect()}
+    want |= {r["doc_id"]: "host_capped" for r in capped.collect()}
+    want |= {r["doc_id"]: r["drop_reason"] for r in over.collect()}
+    assert got == want
+    # the output carries the original columns for downstream consumers
+    assert set(out.columns) == {"doc_id", "source", "host", "text",
+                                "drop_reason"}
+
+
+def test_assemble_mix_semantics(plane):
+    from pii_spark.curation import MixConfig, assemble_mix
+
+    docs, bench, pdf, contaminated = plane
+    out = assemble_mix(docs, MixConfig(**MIX_CFG_KW), benchmarks=bench)
+    rows = out.collect()
+    reasons = {r["doc_id"]: r["drop_reason"] for r in rows}
+    # every input id present exactly once
+    assert sorted(reasons) == sorted(pdf["doc_id"])
+    # decontamination runs FIRST: every contaminated doc is labeled so,
+    # even if a later stage would also have dropped it
+    for d in contaminated:
+        assert reasons[d] == "contaminated"
+    # unlisted source labeled
+    forums = set(pdf[pdf["source"] == "forums"]["doc_id"])
+    assert {reasons[d] for d in forums} <= {"unlisted_source",
+                                            "contaminated"}
+    kept = [r for r in rows if r["drop_reason"] is None]
+    kdf = pd.DataFrame([r.asDict() for r in kept])
+    ntok = kdf["text"].map(lambda t: len(t.split()))
+    # the mix respects the host cap and the source budgets
+    assert (ntok.groupby(kdf["host"]).sum() <= 250).all()
+    per_src = ntok.groupby(kdf["source"]).sum()
+    assert per_src.get("web", 0) <= 700
+    assert per_src.get("books", 0) <= 500
+    # and the budgets actually bit
+    assert per_src.get("web", 0) > 0 and per_src.get("books", 0) > 0
+    assert len(kept) < len(pdf)
+
+
+def test_assemble_mix_stage_toggles_and_validation(plane):
+    from pii_spark.curation import MixConfig, assemble_mix
+
+    docs, bench, pdf, contaminated = plane
+    # decontamination off: no stage needs benchmarks; contaminated docs
+    # flow into the later stages instead
+    out = assemble_mix(
+        docs, MixConfig(budgets={"web": 10_000, "books": 10_000},
+                        decontaminate_n=None))
+    reasons = {r["doc_id"]: r["drop_reason"] for r in out.collect()}
+    assert "contaminated" not in set(reasons.values())
+    web_books = set(pdf[pdf["source"] != "forums"]["doc_id"])
+    assert all(reasons[d] is None for d in web_books)
+    # passing benchmarks with the stage off is a config error
+    with pytest.raises(ValueError, match="decontaminate_n is None"):
+        assemble_mix(docs, MixConfig(budgets={"web": 1},
+                                     decontaminate_n=None),
+                     benchmarks=bench)
+    # the stage on but neither/both inputs: contamination's own contract
+    with pytest.raises(ValueError, match="exactly one"):
+        assemble_mix(docs, MixConfig(budgets={"web": 1}))
+    with pytest.raises(ValueError):
+        MixConfig(budgets={})
+    with pytest.raises(ValueError):
+        MixConfig(budgets={"web": 1}, decontaminate_n=0)
+    with pytest.raises(ValueError):
+        MixConfig(budgets={"web": 1}, decontaminate_min_hits=0)
+    with pytest.raises(ValueError):
+        MixConfig(budgets={"web": 1}, max_tokens_per_host=-1)
