@@ -101,6 +101,11 @@ def main() -> int:
                     help="pii_core-local single-core extraction bench "
                          "(2400-doc synth corpus, median of 7) -> appends "
                          "BENCH/single_core_runs.jsonl")
+    ap.add_argument("--mixplane", action="store_true",
+                    help="training-mix plane bench (assemble_mix: "
+                         "decontaminate -> host cap -> source budgets over "
+                         "the sf documents table replicated 32x) -> appends "
+                         "BENCH/mixplane_runs.jsonl")
     ap.add_argument("--repeats", type=int, default=3,
                     help="scaling mode: timed runs per config (median taken)")
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -117,6 +122,8 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(args.sf_dir)
 
+    if args.mixplane:
+        return mixplane(args.sf_dir, sf, repeats=args.repeats)
     if args.scaling:
         return scaling(args.sf_dir, sf, repeats=args.repeats)
 
@@ -242,6 +249,83 @@ def single_core(n_docs: int = 2400, repeats: int = 7) -> int:
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/single_core_runs.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return 0
+
+
+def mixplane(sf_dir: str, sf: float, repeats: int = 3,
+             scale: int = 32) -> int:
+    """Training-mix plane bench: time the composed ``assemble_mix`` DAG
+    (benchmark decontamination with a PRE-PERSISTED key artifact — the
+    incremental production shape — then per-host cap, then per-source
+    token budgets) over the sf ``documents`` table replicated ``scale``x
+    with distinct ids. The corpus is persisted and counted before timing
+    so the numbers measure the plane, not the scan+explode. Median of
+    ``repeats``; appends one JSON line to BENCH/mixplane_runs.jsonl."""
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pii_spark.curation import MixConfig, assemble_mix
+    from pii_spark.ops.decontaminate import benchmark_gram_keys
+    from pii_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(cores=cpus)
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    new_id = F.col("doc_id") * scale + F.col("__k")
+    docs = (
+        base.select("doc_id", "source", "text")
+        .withColumn("__k", F.explode(F.sequence(F.lit(0),
+                                                F.lit(scale - 1))))
+        .select(new_id.alias("doc_id"), "source",
+                F.concat(F.col("source"), F.lit("-h"),
+                         (new_id % 67).cast("string"),
+                         F.lit(".example.com")).alias("host"),
+                "text")
+        .persist()
+    )
+    n_docs = docs.count()
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    total_tok = docs.select(F.sum(
+        F.when(F.col("text").isNull(), 0).otherwise(n_tok))).first()[0]
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    # budgets bite everywhere: 40% of the per-source average; the host cap
+    # bites the naturally-larger hosts: 1.2x the average host size
+    budgets = {s: int(total_tok / len(srcs) * 0.4) for s in srcs}
+    host_cap = int(total_tok / (len(srcs) * 67) * 1.2)
+
+    bench = base.limit(200).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", r"\s+"), 1, 13))
+        .alias("text"))
+    with tempfile.TemporaryDirectory() as td:
+        kpath = os.path.join(td, "bench_keys")
+        benchmark_gram_keys(bench, n=13).write.parquet(kpath)
+        keys = spark.read.parquet(kpath)
+        cfg = MixConfig(budgets=budgets, max_tokens_per_host=host_cap,
+                        seed=13)
+        times, reasons = [], {}
+        for _ in range(repeats + 1):  # first pass is warm-up
+            t0 = time.time()
+            out = assemble_mix(docs, cfg, bench_keys=keys)
+            reasons = {r["drop_reason"] or "kept": r["count"] for r in
+                       out.groupBy("drop_reason").count().collect()}
+            times.append(time.time() - t0)
+    docs.unpersist()
+    med = statistics.median(times[1:])
+    rec = {
+        "ts": time.time(), "sf": sf, "cpus": cpus, "scale": scale,
+        "n_docs": n_docs, "total_tok": total_tok,
+        "median_sec": round(med, 3),
+        "docs_per_sec": round(n_docs / med, 1),
+        "mtok_per_sec": round(total_tok / 1e6 / med, 2),
+        "outcomes": reasons,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/mixplane_runs.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
     return 0

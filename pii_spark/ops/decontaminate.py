@@ -39,22 +39,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_array(text_col: str, n: int) -> Column:
-    """DISTINCT lowercase word ``n``-grams of ``text_col`` as an array
-    column (doc-local, pure builtin expressions — no UDF, no shuffle)."""
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+def _tokens(text_col: str) -> Column:
+    """Lowercase whitespace tokens of ``text_col`` (doc-local)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """DISTINCT word ``n``-grams from a token-array column (doc-local,
+    pure builtin expressions — no UDF, no shuffle).
+
+    ``toks`` MUST be a materialized column (an attribute from a prior
+    projection), never the tokenization expression itself: higher-order
+    lambdas are codegen-incompatible, and in interpreted mode the lambda
+    body re-evaluates per element — an embedded split() would re-run the
+    tokenizer regex once per gram position (measured on a 160k-doc
+    corpus: the embedded form burned > 6 CPU-hours where the two-step
+    form takes seconds). One ``slice`` per position keeps the body to a
+    single attribute read.
+    """
     # guard the short-doc case explicitly: Spark's sequence(1, 0) counts
     # DOWN to [1, 0] (unlike DuckDB's empty generate_series) and would
-    # index element_at out of bounds
+    # slice out of bounds
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]),
-    )
-    return F.array_distinct(grams)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
 
 
 def benchmark_gram_keys(
@@ -73,7 +83,8 @@ def benchmark_gram_keys(
     probe re-distincts)."""
     return (
         benchmarks
-        .select(F.explode(_gram_array(text_col, n)).alias("gram"))
+        .select(_tokens(text_col).alias("toks"))
+        .select(F.explode(_grams(F.col("toks"), n)).alias("gram"))
         .select(F.md5("gram").alias("gh"))
         .distinct()
     )
@@ -113,8 +124,11 @@ def contamination(
             benchmarks, n=n, text_col=bench_text_col or text_col)
     else:
         bench_keys = bench_keys.select("gh").distinct()
-    with_grams = corpus.select(
-        F.col(id_col), _gram_array(text_col, n).alias("grams"))
+    with_grams = (
+        corpus
+        .select(F.col(id_col), _tokens(text_col).alias("toks"))
+        .select(id_col, _grams(F.col("toks"), n).alias("grams"))
+    )
     hits = (
         with_grams
         .select(id_col, F.explode("grams").alias("gram"))
