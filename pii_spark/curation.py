@@ -290,6 +290,7 @@ def assemble_mix(
     host_col: str = "host",
     id_col: str = "doc_id",
     text_col: str = "text",
+    eager: bool = True,
 ) -> DataFrame:
     """The training-mix DAG that runs AFTER ``curate``: benchmark
     decontamination → per-host token cap → per-source token budgets,
@@ -307,11 +308,25 @@ def assemble_mix(
     ``ops.mixing.mixture_report(docs_kept_by_earlier_stages, mix, ...)``
     for the per-source accounting.
 
-    Fully lazy (no stage here needs a driver action); each stage's
-    shuffle discipline is its operator's own — broadcast gram keys, the
-    over-cap-host window prune, the boundary-bucket decomposition. The
-    benchmarks/bench_keys pair follows ``ops.decontaminate.contamination``
-    (exactly one when decontamination is on, neither when off).
+    Each stage's shuffle discipline is its operator's own — broadcast
+    gram keys, the over-cap-host window prune, the boundary-bucket
+    decomposition. The benchmarks/bench_keys pair follows
+    ``ops.decontaminate.contamination`` (exactly one when decontamination
+    is on, neither when off).
+
+    Eagerness (the ``curate`` id-frame contract): each stage's loser ids
+    are ``localCheckpoint(eager=True)``-ed as they are derived — three
+    tiny (id, reason) frames. Without this the composition is lazy but
+    QUADRATIC: ``sample_mixture`` references its input ~6 times and each
+    reference would re-run the upstream anti-join chain INCLUDING the
+    decontamination gram explode (measured at sf0.1 replicated 32x:
+    the lazy form did not finish in 9 minutes; the checkpointed form
+    runs the explode once). With the checkpoints, re-evaluating ``live``
+    is one corpus scan plus anti-joins against in-memory id frames.
+    Checkpointed id frames are self-contained (block loss is not
+    lineage-recoverable — acceptable for ids, rejected for corpora,
+    same trade as ``curate``); pass ``eager=False`` to keep the plan
+    fully lazy when composing over a tiny or already-persisted corpus.
     """
     if cfg.decontaminate_n is None and (
             benchmarks is not None or bench_keys is not None):
@@ -323,15 +338,21 @@ def assemble_mix(
                     F.col(host_col).alias("__host"),
                     F.col(text_col).alias("text"))
 
+    def _pin(ids: DataFrame) -> DataFrame:
+        # skinny (id, reason) frame: checkpoint so downstream stages and
+        # the final stitch replay anti-joins against a materialized frame
+        # instead of re-running this stage's (and its ancestors') DAG
+        return ids.localCheckpoint(eager=True) if eager else ids
+
     losers: list[DataFrame] = []  # (id, reason) frames, stage order
     live = d
     if cfg.decontaminate_n is not None:
         counts = contamination(
             live, benchmarks, n=cfg.decontaminate_n, id_col=id_col,
             text_col="text", bench_keys=bench_keys)
-        dirty = counts.where(
-            F.col("contam_hits") >= cfg.decontaminate_min_hits) \
-            .select(id_col, F.lit("contaminated").alias("reason"))
+        dirty = _pin(counts.where(
+            F.col("contam_hits") >= cfg.decontaminate_min_hits)
+            .select(id_col, F.lit("contaminated").alias("reason")))
         losers.append(dirty)
         live = live.join(dirty.select(id_col), id_col, "left_anti")
 
@@ -339,16 +360,16 @@ def assemble_mix(
         _, capped = cap_host_tokens(
             live, cfg.max_tokens_per_host, host_col="__host",
             id_col=id_col, text_col="text", seed=cfg.seed)
-        capped_ids = capped.select(
-            id_col, F.lit("host_capped").alias("reason"))
+        capped_ids = _pin(capped.select(
+            id_col, F.lit("host_capped").alias("reason")))
         losers.append(capped_ids)
         live = live.join(capped_ids.select(id_col), id_col, "left_anti")
 
     _, over = sample_mixture(
         live, cfg.budgets, source_col="__src", id_col=id_col,
         text_col="text", seed=cfg.seed)
-    losers.append(over.select(
-        id_col, F.col("drop_reason").alias("reason")))
+    losers.append(_pin(over.select(
+        id_col, F.col("drop_reason").alias("reason"))))
 
     audit = losers[0]
     for l in losers[1:]:

@@ -6,7 +6,8 @@ from __future__ import annotations
 
 
 def register_all(register) -> None:
-    from pii_spark.ops import dedup, multimodal, similarity, textstats, urls
+    from pii_spark.ops import (
+        dedup, mixing, multimodal, similarity, textstats, urls)
 
-    for mod in (textstats, dedup, similarity, multimodal, urls):
+    for mod in (textstats, dedup, similarity, multimodal, urls, mixing):
         mod.register_queries(register)

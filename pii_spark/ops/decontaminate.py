@@ -23,9 +23,11 @@ inflate or dilute counts.
   Its distinct n-gram set reduces to 32-hex md5 keys (~3x smaller than the
   raw 13-grams) and broadcasts — the corpus is NEVER shuffled for the
   probe. md5 keys are also what the committed artifact would store.
-* The corpus side explodes n-grams doc-locally, hash-joins the broadcast
-  set, and partially aggregates (doc_id, hits) — the only exchange
-  carries (doc_id, count) pairs for DIRTY-ish docs, a vanishing fraction.
+* The corpus side explodes n-grams doc-locally in ONE pass, LEFT-joins
+  the broadcast key set, and partially aggregates — map-side combine
+  reduces the gram rows to one (doc_id, n_ngrams, contam_hits) row per
+  doc before the only exchanges, which carry those skinny triples and
+  the id-only corpus projection; gram text never shuffles.
 * Collisions: md5 over ~10^7 benchmark grams is birthday-safe by ~10^18;
   and a collision could only FLAG an innocent document (over-removal),
   never keep a contaminated one — the fail-safe direction for this gate.
@@ -67,6 +69,25 @@ def _grams(toks: Column, n: int) -> Column:
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
 
 
+def _gram_array(text_col: str, n: int) -> Column:
+    """Production gram derivation: same frozen semantics as
+    ``_grams(_tokens(c), n)`` (lowercase, whitespace-tokenized, distinct
+    single-space-joined ``n``-grams) in ONE codegen-friendly regex pass —
+    whitespace is normalized to single spaces once per document, then a
+    zero-width match at every token start (``(?<![^ ])``, i.e. preceded
+    by a space or the string start) captures the next ``n`` tokens via
+    lookahead, so overlapping grams fall out of one ``regexp_extract_all``
+    instead of an interpreted nested-HOF slice-and-join per position.
+    Exact-parity with the HOF form is differential-pinned (adversarial +
+    fuzz corpora, ``tests/test_decontaminate.py``), which keeps the HOF
+    form as the executable spec. NULL text carries no grams."""
+    norm = F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+    pat = r"(?<![^ ])(?=((?:\S+ ){%d}\S+))" % (n - 1)
+    arr = F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
+    return F.array_distinct(
+        F.coalesce(arr, F.array().cast("array<string>")))
+
+
 def benchmark_gram_keys(
     benchmarks: DataFrame,
     *,
@@ -83,8 +104,7 @@ def benchmark_gram_keys(
     probe re-distincts)."""
     return (
         benchmarks
-        .select(_tokens(text_col).alias("toks"))
-        .select(F.explode(_grams(F.col("toks"), n)).alias("gram"))
+        .select(F.explode(_gram_array(text_col, n)).alias("gram"))
         .select(F.md5("gram").alias("gh"))
         .distinct()
     )
@@ -124,24 +144,30 @@ def contamination(
             benchmarks, n=n, text_col=bench_text_col or text_col)
     else:
         bench_keys = bench_keys.select("gh").distinct()
-    with_grams = (
+    # ONE gram pass: the exploded gram rows carry both counters — count(*)
+    # per doc is n_ngrams and the broadcast LEFT join marks hits — instead
+    # of evaluating the gram array twice (once for size, once for the hit
+    # join). Zero-gram docs vanish in the explode and are restored by the
+    # final left join from the id-only corpus projection.
+    counts = (
         corpus
-        .select(F.col(id_col), _tokens(text_col).alias("toks"))
-        .select(id_col, _grams(F.col("toks"), n).alias("grams"))
-    )
-    hits = (
-        with_grams
+        .select(F.col(id_col), _gram_array(text_col, n).alias("grams"))
         .select(id_col, F.explode("grams").alias("gram"))
         .select(id_col, F.md5("gram").alias("gh"))
-        .join(F.broadcast(bench_keys), "gh")
+        .join(F.broadcast(bench_keys.withColumnRenamed("gh", "__bench_gh")),
+              F.col("gh") == F.col("__bench_gh"), "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("contam_hits"))
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("__bench_gh").alias("contam_hits"),
+        )
     )
     return (
-        with_grams.select(id_col, F.size("grams").alias("n_ngrams"))
-        .join(hits, id_col, "left")
+        corpus.select(id_col)
+        .join(counts, id_col, "left")
         .select(
-            id_col, "n_ngrams",
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
             F.coalesce("contam_hits", F.lit(0)).alias("contam_hits"),
         )
     )

@@ -265,6 +265,77 @@ def sample_mixture(
     return kept, dropped
 
 
+# driver-oracle registry slot: budgets are literal so the DuckDB oracle
+# can re-derive the frozen semantics (global per-source hash order,
+# inclusive running total <= budget) without knowing corpus totals.
+# src0-5/7-11 bite (~600 of ~1000-1300 tok each under doc_id < 400),
+# src6 exercises budget 0 (every nonzero-token doc drops), src12-15 are
+# under-budget (keep everything), src16-19 are unlisted (drop labeled).
+_REG_BUDGETS = {f"src{i}": (0 if i == 6 else 600 if i < 12 else 5000)
+                for i in range(16)}
+
+
+def register_queries(register) -> None:
+    from pyspark.sql import SparkSession  # noqa: PLC0415
+
+    from pii_spark.util import read_table as _t  # noqa: PLC0415
+
+    budget_rows = ", ".join(
+        f"('{s}', {b})" for s, b in _REG_BUDGETS.items())
+
+    @register(
+        "mixture_sample",
+        oracle=rf"""
+        WITH b(src, budget) AS (VALUES {budget_rows}),
+        d AS (SELECT doc_id, source, text FROM documents
+              WHERE doc_id < 400),
+        toks AS (
+          SELECT doc_id, source,
+                 CASE WHEN text IS NULL THEN 0
+                      ELSE len(list_filter(string_split_regex(text, '\s+'),
+                                           t -> t <> '')) END AS n_tok
+          FROM d),
+        cum AS (
+          SELECT doc_id, source, n_tok,
+                 sum(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS c
+          FROM toks)
+        SELECT cum.doc_id, cum.source, CAST(cum.n_tok AS BIGINT) AS n_tok,
+               CASE WHEN b.src IS NULL THEN 'unlisted_source'
+                    WHEN cum.c > b.budget THEN 'over_budget' END
+                 AS drop_reason
+        FROM cum LEFT JOIN b ON cum.source = b.src
+        ORDER BY doc_id
+        """,
+    )
+    def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-document outcome of the source-mixture sampler (the
+        LLaMA/Pile per-source token-budget step, ``sample_mixture``): every
+        doc_id < 400 row labeled kept (NULL), ``over_budget`` or
+        ``unlisted_source``. The Spark side runs the production
+        bucket-decomposed operator; the oracle re-derives the frozen
+        semantics with the naive global window the decomposition refines
+        into — so a bucket-boundary bug anywhere shows up as a
+        drop_reason mismatch. Budget spread exercises the biting,
+        zero-budget, under-budget and unlisted paths in one result."""
+        d = _t(spark, sf_dir, "documents").where("doc_id < 400").select(
+            "doc_id", "source", "text")
+        kept, dropped = sample_mixture(d, dict(_REG_BUDGETS), seed=42)
+        outcome = kept.select(
+            "doc_id", "source",
+            F.lit(None).cast("string").alias("drop_reason"),
+        ).unionByName(dropped.select("doc_id", "source", "drop_reason"))
+        n_tok = d.select(
+            "doc_id", _n_tok("text").cast("long").alias("n_tok"))
+        return (
+            outcome.join(n_tok, "doc_id")
+            .select("doc_id", "source", "n_tok", "drop_reason")
+            .orderBy("doc_id")
+        )
+
+
 def mixture_report(
     docs: DataFrame,
     sampled: DataFrame,

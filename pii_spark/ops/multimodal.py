@@ -7,7 +7,8 @@ transfer of bytes into pandas, ``mapInPandas`` batch shape, partition
 behavior, and metadata pushdown-friendly layout (metadata columns live
 beside the blob so filters prune without touching bytes).
 
-``binary_meta`` is oracle-checked (byte lengths + content hash are
+``frame_sample`` is oracle-checked end-to-end, including the binary
+metadata columns it carries per frame (byte lengths + content hash are
 SQL-expressible); ``multimodal_features`` exercises the mapInPandas decode
 path (rows-only check — the stub "decoder" is not SQL).
 """
@@ -115,29 +116,6 @@ from pii_spark.util import read_table as _t  # noqa: E402
 
 def register_queries(register) -> None:
     @register(
-        "binary_meta",
-        oracle="""
-        SELECT source, COUNT(*) AS n_docs,
-               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-               CAST(COUNT(DISTINCT substr(md5(text), 1, 8)) AS BIGINT) AS n_distinct_sig
-        FROM documents GROUP BY source ORDER BY source
-        """,
-    )
-    def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Binary-column metadata without touching a decoder: byte lengths
-        and content signatures over utf-8 encoded payloads."""
-        d = _t(spark, sf_dir, "documents")
-        blob = F.encode("text", "utf-8")
-        return (
-            d.groupBy("source").agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.octet_length(blob)).alias("total_bytes"),
-                F.countDistinct(F.substring(F.md5("text"), 1, 8))
-                .alias("n_distinct_sig"),
-            ).orderBy("source")
-        )
-
-    @register(
         "frame_sample",
         oracle="""
         WITH f AS (
@@ -150,20 +128,36 @@ def register_queries(register) -> None:
                CAST(floor(i * (n - 32) / 3.0) AS INT) AS off,
                md5(substr(text,
                           CAST(floor(i * (n - 32) / 3.0) AS INT) + 1,
-                          32)) AS frame_sig
+                          32)) AS frame_sig,
+               CAST(n AS BIGINT) AS n_bytes,
+               substr(md5(text), 1, 8) AS doc_sig
         FROM f ORDER BY doc_id, frame_idx
         """,
     )
     def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Frame sampling over binary payloads (video-style): 4 evenly
         spaced 32-byte windows per document via the mapInPandas explode in
-        ``sample_frames``. The oracle re-derives offsets with flat SQL and
-        signatures via md5 over text slices — valid because documents.text
-        is ASCII word soup (byte offsets == char offsets)."""
-        d = _t(spark, sf_dir, "documents").where("doc_id < 300").select(
-            "doc_id", F.encode("text", "utf-8").alias("blob"))
-        return sample_frames(d, n_frames=4, frame_len=32) \
+        ``sample_frames``, each frame row carrying the blob's typed
+        metadata (byte length + content signature — the decoder-free
+        binary-meta derivation, consolidated from the retired
+        ``binary_meta`` slot; identical expressions, per-doc grain instead
+        of the old per-source rollup, which was a trivial groupBy on top).
+        The oracle re-derives offsets with flat SQL and signatures via md5
+        over text slices — valid because documents.text is ASCII word soup
+        (byte offsets == char offsets)."""
+        d = _t(spark, sf_dir, "documents").where("doc_id < 300")
+        blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+        meta = d.select(
+            "doc_id",
+            F.octet_length(F.encode("text", "utf-8")).cast("long")
+            .alias("n_bytes"),
+            F.substring(F.md5("text"), 1, 8).alias("doc_sig"),
+        )
+        return (
+            sample_frames(blobs, n_frames=4, frame_len=32)
+            .join(meta, "doc_id")
             .orderBy("doc_id", "frame_idx")
+        )
 
     @register("multimodal_features")  # rows-only: stub decoder is not SQL
     def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -197,3 +197,53 @@ def test_bench_keys_xor_benchmarks(frames):
         contamination(corpus)
     with pytest.raises(ValueError, match="exactly one"):
         decontaminate(corpus, bench, bench_keys=keys)
+
+
+def test_gram_array_fast_path_matches_hof_reference(spark):
+    """The production regex gram derivation (`_gram_array`) must be
+    element-identical (as a set — both distinct) to the interpreted-HOF
+    reference (`_grams(_tokens(c), n)`) on adversarial and fuzz corpora;
+    the HOF form is the executable spec of the frozen normalization."""
+    import random
+
+    from pii_spark.ops.decontaminate import _gram_array, _grams, _tokens
+
+    def hof(df, n):
+        return (df.select("doc_id", _tokens("text").alias("toks"))
+                  .select("doc_id", _grams(F.col("toks"), n).alias("grams")))
+
+    def fast(df, n):
+        return df.select("doc_id", _gram_array("text", n).alias("grams"))
+
+    adversarial = [
+        (0, "a b c d e f g h i j k l m n o p"),
+        (1, "  leading   and \t tabbed\nnewline words here to make "
+            "thirteen tokens total pad pad"),
+        (2, "short doc"),
+        (3, None),
+        (4, ""),
+        (5, "   \t\n  "),
+        (6, "rep rep rep rep rep rep rep rep rep rep rep rep rep rep"),
+        (7, "MiXeD CaSe TOKENS lower UPPER case mix pad pad pad pad "
+            "pad pad pad"),
+        (8, "já très éfé não ção word word word word word word word word"),
+        (9, "a " * 200),
+    ]
+    rng = random.Random(7)
+    alpha = [f"tok{i}" for i in range(30)] + ["été", "não", "x"]
+    ws = [" ", "  ", "\t", "\n", "", "\r"]
+    fuzz = []
+    for i in range(300):
+        parts = []
+        for _ in range(rng.randint(0, 40)):
+            parts.append(rng.choice(alpha))
+            parts.append(rng.choice(ws))
+        fuzz.append((100 + i, "".join(parts)))
+
+    df = spark.createDataFrame(adversarial + fuzz,
+                               "doc_id long, text string")
+    for n in (1, 2, 13):
+        a = {r["doc_id"]: sorted(r["grams"]) for r in hof(df, n).collect()}
+        b = {r["doc_id"]: sorted(r["grams"]) for r in fast(df, n).collect()}
+        assert a == b, f"n={n}: mismatch on " \
+            f"{ [k for k in a if a[k] != b[k]][:3] }"

@@ -539,3 +539,32 @@ def test_assemble_mix_stage_toggles_and_validation(plane):
         MixConfig(budgets={"web": 1}, decontaminate_min_hits=0)
     with pytest.raises(ValueError):
         MixConfig(budgets={"web": 1}, max_tokens_per_host=-1)
+
+
+def test_mixture_sample_registry_slot(spark):
+    """The driver-oracle registry slot runs the production operator over
+    the real sf tables and partitions every doc_id < 400 row into exactly
+    one outcome, with the budget spread exercising all four paths."""
+    from pii_spark.queries import ORACLES, QUERIES
+
+    assert "mixture_sample" in ORACLES  # oracle-backed, not rows-only
+    out = QUERIES["mixture_sample"](spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    assert len(pdf) == 400
+    assert pdf["doc_id"].is_unique
+    reasons = set(pdf["drop_reason"].dropna())
+    assert reasons == {"over_budget", "unlisted_source"}
+    # unlisted sources drop entirely, labeled
+    unlisted = pdf[pdf["source"].isin([f"src{i}" for i in range(16, 20)])]
+    assert (unlisted["drop_reason"] == "unlisted_source").all()
+    # budget-0 source keeps only zero-token docs (none in this corpus)
+    z = pdf[pdf["source"] == "src6"]
+    assert (z["drop_reason"] == "over_budget").all()
+    # under-budget sources keep everything
+    under = pdf[pdf["source"].isin([f"src{i}" for i in range(12, 16)])]
+    assert under["drop_reason"].isna().all()
+    # biting sources keep a strict, non-empty subset
+    for s in (f"src{i}" for i in range(6)):
+        grp = pdf[pdf["source"] == s]
+        kept = grp["drop_reason"].isna()
+        assert 0 < kept.sum() < len(grp)
