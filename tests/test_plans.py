@@ -196,3 +196,17 @@ def test_curation_dag_plan_no_cartesian_and_pruned_scan(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     scan = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
     assert "unused" not in scan  # column pruning reached the source
+
+
+def test_mixture_sample_plan_no_cartesian_boundary_broadcast(spark, sfd):
+    """The mixture_sample registry query keeps sample_mixture's scale
+    shape: the tiny boundary/tail bucket frames broadcast onto the
+    corpus (never a cartesian or a both-sides shuffle of text), the
+    doc-level window runs on the (source, bucket) slice, and the
+    per-bucket aggregation combines map-side before its exchange."""
+    plan = _plan(QUERIES["mixture_sample"](spark, sfd))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # boundary/tail/budget frames
+    assert "Window" in plan             # boundary-bucket ranking only
+    assert "partial" in plan.lower()    # bucket totals combine map-side
