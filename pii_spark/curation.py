@@ -298,7 +298,9 @@ def assemble_mix(
     with the same single-frame audit contract as ``curate``: every input
     doc id with its text and a ``drop_reason`` — NULL for docs in the
     final mix, else the FIRST stage that killed it (``contaminated`` /
-    ``host_capped`` / ``over_budget`` / ``unlisted_source``).
+    ``host_capped`` / ``over_budget`` / ``unlisted_source``), or
+    ``null_id`` for rows with no id at all (un-addressable by any
+    stage's id join — quarantined rather than passed off as kept).
 
     Stage order is the production order: decontamination first (an
     eval-leaky doc must not consume host or source budget someone else
@@ -374,9 +376,15 @@ def assemble_mix(
     audit = losers[0]
     for l in losers[1:]:
         audit = audit.unionByName(l)
+    # NULL-id rows are un-addressable by every stage's id join (the
+    # operators keep them and exclude them from budget math) and the
+    # stitch join could not label them either — tag them explicitly so
+    # an id-less row can never masquerade as a kept mix member
+    reason = F.when(F.col(id_col).isNull(), F.lit("null_id")) \
+        .otherwise(F.col("reason"))
     return (
         d.join(audit, id_col, "left")
         .select(id_col, F.col("__src").alias(source_col),
                 F.col("__host").alias(host_col), "text",
-                F.col("reason").alias("drop_reason"))
+                reason.alias("drop_reason"))
     )

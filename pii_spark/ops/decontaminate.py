@@ -132,6 +132,13 @@ def contamination(
     ``n`` must then match the value the artifact was built with, which
     the caller owns because a key frame carries no gram text to
     re-derive it from).
+
+    Rows with a NULL ``id_col`` report NULL counters: per-doc counting
+    keys on the id, so NULL-keyed rows would all merge into one
+    meaningless aggregate (and a join back on NULL matches nothing) —
+    NULL counters say "un-assessable" instead of a silently-wrong
+    (0, 0). ``decontaminate`` routes such rows to ``dirty`` (fail-closed
+    for a hygiene gate).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -151,6 +158,7 @@ def contamination(
     # final left join from the id-only corpus projection.
     counts = (
         corpus
+        .where(F.col(id_col).isNotNull())
         .select(F.col(id_col), _gram_array(text_col, n).alias("grams"))
         .select(id_col, F.explode("grams").alias("gram"))
         .select(id_col, F.md5("gram").alias("gh"))
@@ -162,13 +170,18 @@ def contamination(
             F.count("__bench_gh").alias("contam_hits"),
         )
     )
+    null_counter = F.lit(None).cast("long")
     return (
         corpus.select(id_col)
         .join(counts, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
-            F.coalesce("contam_hits", F.lit(0)).alias("contam_hits"),
+            F.when(F.col(id_col).isNull(), null_counter)
+            .otherwise(F.coalesce("n_ngrams", F.lit(0)))
+            .alias("n_ngrams"),
+            F.when(F.col(id_col).isNull(), null_counter)
+            .otherwise(F.coalesce("contam_hits", F.lit(0)))
+            .alias("contam_hits"),
         )
     )
 
@@ -188,14 +201,21 @@ def decontaminate(
     ``min_hits`` distinct ``n``-grams with the benchmark set and carry
     their (contam_hits, n_ngrams) counters for the audit trail; clean rows
     keep the input column set unchanged. Every input row lands in exactly
-    one side."""
+    one side. Rows with a NULL ``id_col`` are un-assessable (see
+    ``contamination``) and land in ``dirty`` with NULL counters — the
+    fail-closed direction for a hygiene gate (before this rule they
+    silently passed as clean: a NULL key matches no dirty-id join)."""
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
     counts = contamination(
         corpus, benchmarks, n=n, id_col=id_col, text_col=text_col,
         bench_text_col=bench_text_col, bench_keys=bench_keys)
     dirty_ids = counts.where(F.col("contam_hits") >= min_hits)
-    dirty = corpus.join(dirty_ids, id_col)
-    clean = corpus.join(
+    null_counter = F.lit(None).cast("long")
+    dirty = corpus.join(dirty_ids, id_col).unionByName(
+        corpus.where(F.col(id_col).isNull())
+        .withColumn("n_ngrams", null_counter)
+        .withColumn("contam_hits", null_counter))
+    clean = corpus.where(F.col(id_col).isNotNull()).join(
         dirty_ids.select(id_col), id_col, "left_anti")
     return clean, dirty

@@ -95,12 +95,18 @@ def cap_host_tokens(
       their docs are all kept (and the plan never ranks them);
     * NULL host is a host like any other (the cap applies to the
       unparseable-url bucket too — without this, every scheme-less url
-      would bypass the cap).
+      would bypass the cap);
+    * a NULL ``id_col`` row is UN-ADDRESSABLE by this operator's id
+      anti-join (a NULL key matches nothing), so it can never be
+      dropped; it is therefore kept AND excluded from the running totals
+      — silently counting un-droppable tokens against the cap would
+      push out droppable documents nondeterministically. Assign real
+      ids upstream if NULL-key rows must be capped.
     """
     if max_tokens_per_host < 0:
         raise ValueError(
             f"max_tokens_per_host must be >= 0, got {max_tokens_per_host}")
-    skinny = docs.select(
+    skinny = docs.where(F.col(id_col).isNotNull()).select(
         F.col(host_col).alias("__h"), F.col(id_col),
         _n_tok(text_col).alias("n_tok"))
 
@@ -191,7 +197,12 @@ def sample_mixture(
     * ``src_cum_tok`` is exact for documents dropped inside the boundary
       bucket and NULL for documents in buckets wholly past the budget —
       materializing exact ranks for the tail would mean windowing the
-      very slice the bucket decomposition exists to skip.
+      very slice the bucket decomposition exists to skip;
+    * a NULL ``id_col`` row is UN-ADDRESSABLE by the id anti-join (a
+      NULL key matches nothing), so it can never be dropped; it is kept
+      AND excluded from the budget math (the ``cap_host_tokens`` rule —
+      un-droppable tokens must not displace droppable documents).
+      Assign real ids upstream if NULL-key rows must be budgeted.
 
     Scale shape: see the module docstring — only ~1/4096 of each source
     (its boundary bucket) is ever ranked by the doc-level window; whole
@@ -201,7 +212,7 @@ def sample_mixture(
     _check_budgets(budgets)
     rank_key = F.md5(F.concat(F.col(id_col).cast("string"),
                               F.lit(f":{seed}")))
-    skinny = docs.select(
+    skinny = docs.where(F.col(id_col).isNotNull()).select(
         F.col(source_col).cast("string").alias("__s"),
         F.col(id_col),
         _n_tok(text_col).alias("n_tok"),

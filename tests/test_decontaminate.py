@@ -247,3 +247,28 @@ def test_gram_array_fast_path_matches_hof_reference(spark):
         b = {r["doc_id"]: sorted(r["grams"]) for r in fast(df, n).collect()}
         assert a == b, f"n={n}: mismatch on " \
             f"{ [k for k in a if a[k] != b[k]][:3] }"
+
+
+def test_null_id_rows_fail_closed(spark):
+    """NULL-id corpus rows are un-assessable (per-doc counters key on
+    the id; a NULL key matches no join) — contamination reports NULL
+    counters and decontaminate routes them to dirty, never clean."""
+    corpus = spark.createDataFrame(
+        [(None, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "unrelated words entirely here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma delta")], "doc_id long, text string")
+
+    counts = {r["doc_id"]: (r["n_ngrams"], r["contam_hits"])
+              for r in contamination(corpus, bench, n=4).collect()}
+    assert counts[None] == (None, None)
+    assert counts[1] == (1, 1)
+    assert counts[2] == (1, 0)
+
+    clean, dirty = decontaminate(corpus, bench, n=4)
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+    drows = {r["doc_id"]: (r["n_ngrams"], r["contam_hits"])
+             for r in dirty.collect()}
+    assert set(drows) == {None, 1}
+    assert drows[None] == (None, None)

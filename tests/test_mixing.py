@@ -568,3 +568,40 @@ def test_mixture_sample_registry_slot(spark):
         grp = pdf[pdf["source"] == s]
         kept = grp["drop_reason"].isna()
         assert 0 < kept.sum() < len(grp)
+
+
+def test_null_id_rows_kept_and_budget_invisible(spark):
+    """A NULL-id row is un-addressable by the id anti-join, so both
+    operators keep it AND exclude its tokens from the running totals
+    (un-droppable tokens must not displace droppable documents)."""
+    rows = [(None, "web", "h1", "w " * 50),
+            (1, "web", "h1", "w " * 30),
+            (2, "web", "h1", "w " * 30)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, host string, text string")
+
+    # budget 40: docs 1+2 are 30 tok each -> one keeps, one drops; the
+    # NULL row's 50 tokens must NOT count against the budget
+    kept, dropped = sample_mixture(df, {"web": 40}, seed=3)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert None in kept_ids and len(kept_ids) == 2
+    assert dropped.count() == 1
+    assert {r["doc_id"] for r in dropped.collect()} <= {1, 2}
+
+    kept_c, dropped_c = cap_host_tokens(df, 40, seed=3)
+    kept_c_ids = {r["doc_id"] for r in kept_c.collect()}
+    assert None in kept_c_ids and len(kept_c_ids) == 2
+    assert dropped_c.count() == 1
+
+
+def test_assemble_mix_null_id_quarantined(spark):
+    from pii_spark.curation import MixConfig, assemble_mix
+
+    rows = [(None, "web", "h1", "w " * 10), (1, "web", "h1", "w " * 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, host string, text string")
+    out = assemble_mix(df, MixConfig(budgets={"web": 10_000},
+                                     decontaminate_n=None))
+    reasons = {r["doc_id"]: r["drop_reason"] for r in out.collect()}
+    assert reasons[None] == "null_id"
+    assert reasons[1] is None
