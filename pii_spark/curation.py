@@ -21,7 +21,10 @@ order real pipelines use):
 ``curate`` returns ONE frame: every input doc id with its (possibly
 line-deduped) text and a ``drop_reason`` — null for survivors, else the
 FIRST stage that killed it (``too_short`` / ``repetitive`` /
-``exact_dup`` / ``near_dup``). Nothing silently disappears: the audit is
+``exact_dup`` / ``near_dup``), or ``null_id`` for rows with no id at all
+(un-addressable by any id join: the stage machinery could neither score
+nor dedup them — quarantined, not silently lost or passed through).
+Nothing silently disappears: the audit is
 ``groupBy(drop_reason).count()`` away, and the kept corpus is
 ``where drop_reason is null``. Every stage is shuffle-disciplined by its
 underlying operator (hashes and ids move, text moves only doc-locally);
@@ -109,6 +112,16 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, text, drop_reason) for every input doc — see module docstring."""
     cfg = cfg or CurationConfig()
+    # NULL-id rows are quarantined up front with drop_reason='null_id'
+    # (unioned back into the result below): they are un-addressable by
+    # every id join in the stage machinery — the ngram-stats INNER join
+    # silently dropped them from the OUTPUT (violating the every-input-doc
+    # contract), and the dedup stages' loser anti-joins could never drop
+    # them (a NULL-id duplicate would always survive).
+    null_rows = docs.where(F.col(id_col).isNull()).select(
+        F.col(id_col), F.col(text_col).alias("text"),
+        F.lit("null_id").alias("drop_reason"))
+    docs = docs.where(F.col(id_col).isNotNull())
     d = docs.select(F.col(id_col), F.col(text_col).alias("text"))
     if cfg.line_dedup_max_doc_freq is not None:
         d = line_dedup(d, cfg.line_dedup_max_doc_freq, id_col=id_col,
@@ -246,6 +259,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
             id_col, "text",
             F.coalesce("drop_reason", "_r3", "_r4").alias("drop_reason"),
         )
+        .unionByName(null_rows)
     )
 
 

@@ -101,3 +101,27 @@ def test_curate_null_and_empty_text_gate_out(spark):
         assert got[3] == "too_short"
         assert got[4] == "too_short"
         assert got[5] == "too_short"
+
+
+def test_curate_null_id_quarantined_not_lost(spark):
+    """A NULL-id row previously VANISHED from curate()'s output when the
+    ngram gates were on (inner join on the id) — violating the
+    every-input-doc contract; and with gates off it could never be
+    deduped (id anti-joins can't address it). It must come back with
+    drop_reason='null_id'."""
+    from pii_spark.curation import CurationConfig, curate
+
+    body = (" ".join(f"palavra{i}" for i in range(20))
+            + " unica frase longa o bastante para passar em todos os "
+            "filtros de qualidade sem repeticao excessiva")
+    rows = [(None, body), (1, body), (2, "poucas palavras")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = curate(df, CurationConfig(
+        min_tokens=5, max_dup_line_pm=900, max_top_2gram_char_pm=900,
+        max_dup_5gram_char_pm=900, exact_dedup=True,
+        near_dup_jaccard_pm=None))
+    reasons = {r["doc_id"]: r["drop_reason"] for r in out.collect()}
+    assert out.count() == 3            # every input row accounted for
+    assert reasons[None] == "null_id"  # quarantined, not lost/kept
+    assert reasons[1] is None          # real-id twin unaffected
