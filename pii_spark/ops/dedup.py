@@ -527,9 +527,19 @@ def line_dedup(docs: DataFrame, max_doc_freq: int,
     birthday collisions are EXPECTED — a hash-only delete would silently
     destroy body prose). Reassembly sorts each doc's surviving
     (line_no, line) structs doc-locally — no corpus-wide sort.
+
+    Rows with a NULL ``id_col`` pass through VERBATIM: the rebuild keys
+    on the id, so NULL-keyed docs would all merge into one group and —
+    because the final re-attach join cannot match a NULL key — every
+    such row previously came back with its text WIPED to ''. They also
+    cannot be counted as distinct documents for line frequency. Assign
+    real ids upstream if boilerplate removal must cover them.
     """
     if max_doc_freq < 1:
         raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    null_rows = docs.where(F.col(id_col).isNull()).select(
+        F.col(id_col), F.col(text_col).alias("text"))
+    docs = docs.where(F.col(id_col).isNotNull())
     trimmed = F.regexp_replace("line", r"^\s+|\s+$", "")
     lines = docs.select(
         F.col(id_col),
@@ -564,7 +574,8 @@ def line_dedup(docs: DataFrame, max_doc_freq: int,
     # a doc whose every line was boilerplate survives as EMPTY text, not a
     # dropped row — losing the doc id would silently shrink the corpus
     return docs.select(id_col).join(rebuilt, id_col, "left").select(
-        id_col, F.coalesce("text", F.lit("")).alias("text"))
+        id_col, F.coalesce("text", F.lit("")).alias("text")) \
+        .unionByName(null_rows)
 
 
 def normalized_fp(text_col: str = "text"):

@@ -626,3 +626,20 @@ def test_near_dedup_band_index_join_no_exchange(spark):
     import re as _re
     n_exchanges = len(_re.findall(r"\bExchange hashpartitioning", plan))
     assert n_exchanges <= 1, plan
+
+
+def test_line_dedup_null_id_text_passes_verbatim(spark):
+    """NULL-id rows previously came back with text WIPED to '' (the
+    rebuild keys on the id; the re-attach left join can't match a NULL
+    key) — they must pass through verbatim instead."""
+    from pii_spark.ops.dedup import line_dedup
+
+    boiler = "cookie banner"
+    rows = ([(None, f"{boiler}\nunique null-id prose")]
+            + [(i, f"{boiler}\nbody text {i}") for i in range(1, 8)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in line_dedup(df, max_doc_freq=3).collect()}
+    assert len(out) == 8
+    assert out[None] == f"{boiler}\nunique null-id prose"  # untouched
+    assert out[1] == "body text 1"  # boilerplate stripped for real ids
