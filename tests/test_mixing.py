@@ -605,3 +605,72 @@ def test_assemble_mix_null_id_quarantined(spark):
     reasons = {r["doc_id"]: r["drop_reason"] for r in out.collect()}
     assert reasons[None] == "null_id"
     assert reasons[1] is None
+
+
+def test_sample_mixture_randomized_parity_vs_naive_window(spark):
+    """Randomized corpora x budget sweeps vs a pure-Python derivation of
+    the frozen semantics (global per-source md5 order, inclusive running
+    total <= budget). Hardens the boundary-bucket decomposition on the
+    cases a fixed fixture can miss: budgets exactly equal to a running
+    prefix, zero-token docs straddling the boundary, single-doc sources,
+    budget 0, budget >= total."""
+    import hashlib
+    import random
+
+    rng = random.Random(41)
+    for trial in range(6):
+        rows = []
+        n_src = rng.randint(1, 4)
+        srcs = [f"s{i}" for i in range(n_src)] + [None]
+        did = 0
+        for s in srcs:
+            for _ in range(rng.randint(1, 40)):
+                k = rng.choice([0, 0, rng.randint(1, 12)])
+                rows.append((did, s, "w " * k if k else
+                             rng.choice(["", None])))
+                did += 1
+        # budgets: mix of 0, tiny, exact-prefix, huge; some sources
+        # deliberately unlisted
+        budgets = {}
+        for s in srcs:
+            r = rng.random()
+            if r < 0.2:
+                continue  # unlisted
+            if r < 0.35:
+                budgets[s] = 0
+            elif r < 0.7:
+                budgets[s] = rng.randint(1, 60)
+            else:
+                budgets[s] = 10_000
+        if not budgets:
+            budgets = {srcs[0]: rng.randint(1, 60)}
+        seed = rng.randint(0, 99)
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        kept, dropped = sample_mixture(df, budgets, seed=seed)
+        got_kept = {r["doc_id"] for r in kept.collect()}
+        got_drop = {r["doc_id"]: r["drop_reason"] for r in dropped.collect()}
+
+        # naive oracle: per source, order by (md5(f"{id}:{seed}"), id),
+        # keep while inclusive cumsum <= budget
+        by_src = {}
+        for d, s, t in rows:
+            by_src.setdefault(s, []).append(
+                (hashlib.md5(f"{d}:{seed}".encode()).hexdigest(), d,
+                 len([w for w in (t or "").split() if w])))
+        want_kept, want_drop = set(), {}
+        for s, docs_ in by_src.items():
+            if s not in budgets:
+                for _, d, _n in docs_:
+                    want_drop[d] = "unlisted_source"
+                continue
+            cum = 0
+            for _, d, n in sorted(docs_):
+                cum += n
+                if cum <= budgets[s]:
+                    want_kept.add(d)
+                else:
+                    want_drop[d] = "over_budget"
+        assert got_kept == want_kept, f"trial {trial}: kept mismatch"
+        assert got_drop == want_drop, f"trial {trial}: dropped mismatch"
