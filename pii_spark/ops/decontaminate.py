@@ -94,19 +94,26 @@ def benchmark_gram_keys(
     n: int = 13,
     text_col: str = "text",
 ) -> DataFrame:
-    """The persistable decontamination artifact: one ``gh`` column of
-    distinct md5 n-gram keys over the benchmark set. Eval suites change
-    rarely while crawl increments arrive continuously — write this once
-    per benchmark release (plain parquet; it broadcasts, so no bucketing
-    needed) and pass it to ``contamination(..., bench_keys=...)`` to skip
-    re-gramming the benchmarks on every increment. Append new suites'
-    keys as they adopt; duplicate keys across suites are harmless (the
-    probe re-distincts)."""
+    """The persistable decontamination artifact: distinct md5 n-gram keys
+    (``gh``) over the benchmark set, self-described by an ``n`` column.
+    Eval suites change rarely while crawl increments arrive continuously —
+    write this once per benchmark release (plain parquet; it broadcasts,
+    so no bucketing needed) and pass it to
+    ``contamination(..., bench_keys=...)`` to skip re-gramming the
+    benchmarks on every increment. Append new suites' keys as they adopt
+    (same ``n`` only — one artifact per gram size); duplicate keys across
+    suites are harmless (the probe re-distincts).
+
+    The ``n`` column exists because an artifact probed with the WRONG
+    ``n`` would match zero grams and report every document clean — a
+    silent fail-open for the hygiene gate. ``contamination`` asserts the
+    recorded ``n`` row-by-row and fails the job loudly on mismatch."""
     return (
         benchmarks
         .select(F.explode(_gram_array(text_col, n)).alias("gram"))
         .select(F.md5("gram").alias("gh"))
         .distinct()
+        .withColumn("n", F.lit(n))
     )
 
 
@@ -150,6 +157,16 @@ def contamination(
         bench_keys = benchmark_gram_keys(
             benchmarks, n=n, text_col=bench_text_col or text_col)
     else:
+        if "n" in bench_keys.columns:
+            # loud runtime guard, not a silent filter: probing with a
+            # mismatched n would match zero grams and pass every
+            # contaminated doc as clean (fail-open). Pre-"n"-column
+            # artifacts skip the check (the caller owns n, as before).
+            bench_keys = bench_keys.where(F.assert_true(
+                F.col("n") == F.lit(n),
+                f"benchmark_gram_keys artifact was built with a "
+                f"different n than contamination(n={n}) — rebuild the "
+                f"artifact or pass the n it records").isNull())
         bench_keys = bench_keys.select("gh").distinct()
     # ONE gram pass: the exploded gram rows carry both counters — count(*)
     # per doc is n_ngrams and the broadcast LEFT join marks hits — instead

@@ -163,7 +163,7 @@ def test_bench_keys_artifact_parity(frames, tmp_path):
     spark = corpus.sparkSession
 
     keys = benchmark_gram_keys(bench, n=13)
-    assert keys.columns == ["gh"]
+    assert keys.columns == ["gh", "n"]
     # round-trip through parquet: the artifact is what production persists
     path = str(tmp_path / "bench_keys")
     keys.write.parquet(path)
@@ -272,3 +272,23 @@ def test_null_id_rows_fail_closed(spark):
              for r in dirty.collect()}
     assert set(drows) == {None, 1}
     assert drows[None] == (None, None)
+
+
+def test_bench_keys_wrong_n_fails_loudly(frames, tmp_path):
+    """Probing a persisted artifact with a different n than it was built
+    with would match zero grams and report everything clean — the probe
+    must fail the job loudly instead of failing open."""
+    from py4j.protocol import Py4JJavaError
+
+    corpus, bench, _, _ = frames
+    spark = corpus.sparkSession
+    path = str(tmp_path / "k13")
+    benchmark_gram_keys(bench, n=13).write.parquet(path)
+    keys = spark.read.parquet(path)
+    with pytest.raises(Exception, match="different n|ASSERT"):
+        contamination(corpus, bench_keys=keys, n=12).collect()
+    # matching n still flows
+    assert contamination(corpus, bench_keys=keys, n=13).count() > 0
+    # a pre-"n"-column artifact (legacy) skips the guard
+    legacy = keys.select("gh")
+    assert contamination(corpus, bench_keys=legacy, n=12).count() > 0
