@@ -230,6 +230,13 @@ def run_incremental(
     _require_partitioned_layout(lineage_dir)
     _reserve(results_dir, run_id)
 
+    # NULL-url rows are un-addressable by the resume bookkeeping: they
+    # could never be marked committed (the anti-join cannot match a NULL
+    # key), so each increment would re-extract them and APPEND another
+    # copy of their results — silent corpus duplication growing with
+    # every run. They are excluded here; synthesize urls upstream if
+    # such rows must be processed.
+    pages = pages.where(F.col("url").isNotNull())
     done = committed_urls(spark, results_dir)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
 

@@ -927,3 +927,26 @@ def test_review_passes_keep_quarantined_rows_fail_closed(spark):
                lambda d: apply_missing(d, review)):
         row = fn(malformed).collect()[0]
         assert row["should_be_public"] is False
+
+
+def test_resume_null_url_rows_excluded_not_duplicated(spark, tmp_path):
+    """A NULL-url page is un-addressable by the committed-urls anti-join:
+    before the guard, EVERY increment re-extracted it and appended
+    another copy of its results — silent corpus duplication growing with
+    each run. Such rows are now excluded from the resumable work."""
+    from pii_spark.synth import pages_df
+
+    rdir, ldir = str(tmp_path / "res"), str(tmp_path / "lin")
+    base = pages_df(spark, 10, seed=4)
+    with_null = base.unionByName(
+        base.limit(1).withColumn("url", F.lit(None).cast("string")))
+
+    out1 = run_incremental(spark, with_null, rdir, ldir, "r1",
+                           num_partitions=2)
+    out2 = run_incremental(spark, with_null, rdir, ldir, "r2",
+                           num_partitions=2)
+    assert out1["docs"] == 10          # the NULL-url row never extracts
+    assert out2["docs"] == 0           # and never re-extracts either
+    all_rows = spark.read.parquet(rdir)
+    assert all_rows.count() == 10      # no duplicate accumulation
+    assert all_rows.where(F.col("url").isNull()).count() == 0
