@@ -50,6 +50,13 @@ def apply_review(
     the review table lacks. mode="anti" (this engine's extension) drops
     exactly the reviewed pairs. Keeps url/extracted_text, recomputes
     n_spans and should_be_public.
+
+    ``url`` must be non-NULL (one row per document, as extraction
+    emits): the span regroup keys on it, so NULL-url rows would all
+    CONFLATE into one output row — merged spans from different
+    documents in a frame that decides publishing. The job fails loudly
+    (runtime assert, same fail-closed stance as
+    ``_recomputed_public``'s malformed-span rule) rather than merging.
     """
     if mode not in ("semi", "anti"):
         raise ValueError(f"mode must be semi|anti, got {mode!r}")
@@ -68,7 +75,12 @@ def apply_review(
 
     has_error = "error" in results.columns
     err_cols = ([F.col("error")] if has_error else [])
-    keyed = results.select(
+    keyed = results.where(F.assert_true(
+        F.col("url").isNotNull(),
+        "apply_review: NULL url — the span regroup keys on url, so "
+        "unkeyed rows would conflate into one document; key every row "
+        "before reviewing").isNull()
+    ).select(
         "url", "extracted_text", *err_cols,
         F.explode_outer("spans").alias("s")
     )
@@ -188,6 +200,11 @@ def apply_missing(results: DataFrame, review: DataFrame) -> DataFrame:
     Scale shape: the review set is tiny → broadcast; the occurrence scan is
     doc-local JVM HOFs; one narrow groupBy(url) on the (small) candidate set;
     untouched documents pass through without their spans being rewritten.
+
+    NULL-url rows pass through VERBATIM (never conflated — each results
+    row stays a row here): the injection join cannot address them, so no
+    missing spans can be added; should_be_public is still recomputed
+    fail-closed like every other row.
     """
     cand = add_missing(results, review)
     occ = (

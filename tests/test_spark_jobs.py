@@ -950,3 +950,24 @@ def test_resume_null_url_rows_excluded_not_duplicated(spark, tmp_path):
     all_rows = spark.read.parquet(rdir)
     assert all_rows.count() == 10      # no duplicate accumulation
     assert all_rows.where(F.col("url").isNull()).count() == 0
+
+
+def test_apply_review_null_url_fails_loudly(spark):
+    """NULL-url rows would conflate into one document in the span
+    regroup — the review pass must refuse them, not merge them."""
+    from pii_spark.review import apply_review
+
+    empty_spans = F.expr(
+        "CAST(array() AS array<struct<type:string,start:int,end:int,"
+        "value:string,conf:double,n_tokens:int>>)")
+    results = spark.createDataFrame(
+        [(None, "texto a"), (None, "texto b"), ("u1", "texto c")],
+        "url string, extracted_text string",
+    ).withColumn("spans", empty_spans)
+    review = spark.createDataFrame(
+        [("CONTATO", "x@y.org")], "type string, value string")
+    with pytest.raises(Exception, match="NULL url|ASSERT"):
+        apply_review(results, review).collect()
+    # keyed frames still flow
+    ok = apply_review(results.where("url is not null"), review)
+    assert ok.count() == 1
