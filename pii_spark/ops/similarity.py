@@ -59,8 +59,15 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 def knn_bruteforce_frame(e: DataFrame, n_queries: int = _N_QUERIES,
                          k: int = _K) -> DataFrame:
     """Exact top-k over any (vec_id, embedding) frame: broadcast the query
-    set, one corpus scan, exact integer dot products, rank per query."""
-    eq = e.select("vec_id", _quant("embedding").alias("ce"))
+    set, one corpus scan, exact integer dot products, rank per query.
+
+    NULL-embedding rows are un-scoreable and excluded on BOTH sides: as a
+    candidate the NULL dot would merely rank last (desc puts NULLs last),
+    but as a QUERY every dot is NULL and the window would emit k
+    arbitrary ids as "neighbors" — silent garbage. Encode or drop such
+    rows upstream."""
+    eq = e.where(F.col("embedding").isNotNull()) \
+        .select("vec_id", _quant("embedding").alias("ce"))
     q = eq.where(f"vec_id < {n_queries}").select(
         F.col("vec_id").alias("query_id"), F.col("ce").alias("qe"))
     scored = (
@@ -126,7 +133,11 @@ def knn_lsh_frame(
         raise ValueError(
             f"radius must be 0, 1 or 2 (got {radius}); higher radii are "
             "not implemented")
-    eq = e.select("vec_id", _quant("embedding").alias("e"))
+    # NULL-embedding rows are un-scoreable — see knn_bruteforce_frame
+    # (here they would additionally land in one degenerate NULL-bit
+    # bucket per table before the NULL dots rank)
+    eq = e.where(F.col("embedding").isNotNull()) \
+        .select("vec_id", _quant("embedding").alias("e"))
     keyed = eq.select(
         "vec_id", "e",
         F.explode(F.array(*[

@@ -643,3 +643,25 @@ def test_line_dedup_null_id_text_passes_verbatim(spark):
     assert len(out) == 8
     assert out[None] == f"{boiler}\nunique null-id prose"  # untouched
     assert out[1] == "body text 1"  # boilerplate stripped for real ids
+
+
+def test_knn_frames_exclude_null_embeddings(spark):
+    """A NULL-embedding QUERY row would emit k arbitrary ids with NULL
+    dots as 'neighbors' (every product is NULL, the rank window still
+    fires) — un-scoreable rows must be excluded on both sides."""
+    from pii_spark.ops.similarity import knn_bruteforce_frame, knn_lsh_frame
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(64)])
+            for i in range(12)] + [(100, None), (0, None)][:1] \
+        + [(12, None)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # vec_id 12 is inside the default query range only if n_queries > 12;
+    # force it to be a query to pin the garbage-emission case
+    bf = knn_bruteforce_frame(e, n_queries=13, k=3)
+    got = bf.collect()
+    assert all(r["qdot"] is not None for r in got)
+    assert 12 not in {r["query_id"] for r in got}
+    assert 12 not in {r["neighbor_id"] for r in got}
+    lsh = knn_lsh_frame(e, n_queries=13, k=3).collect()
+    assert 12 not in {r["query_id"] for r in lsh}
+    assert 12 not in {r["neighbor_id"] for r in lsh}
