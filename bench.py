@@ -690,6 +690,20 @@ def scaling(sf_dir: str, sf: float, repeats: int = 3) -> int:
     med_tput = statistics.median(h["docs_per_sec_32c"] for h in hist)
     peak = max(hist, key=lambda h: h["docs_per_sec_32c"])
 
+    # secondary family: summarize the mix-plane ledger if it exists
+    mix_line = "no mode='scaling' invocations recorded yet"
+    try:
+        mix = [json.loads(line) for line in
+               open("BENCH/mixplane_runs.jsonl")]
+        ms = sorted(h["eff_2_to_8"] for h in mix if h.get("mode") == "scaling")
+        if ms:
+            mix_line = (
+                f"efficiencies across {len(ms)} invocations: "
+                + ", ".join(f"{x:.3f}" for x in ms)
+                + f" — median {statistics.median(ms):.3f}")
+    except FileNotFoundError:
+        pass
+
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — throughput + scaling evidence
 
@@ -767,8 +781,8 @@ windows, partial-agg groupBys, a different scaling shape from the
 embarrassingly-parallel extraction flagship) is measured at the same
 2-vs-8-core pair over one on-disk corpus of realistic ~430-token docs:
 `python bench.py --mixplane-scaling` -> mode='scaling' lines in
-BENCH/mixplane_runs.jsonl (first recorded invocation: 0.818 efficiency,
-40k docs / 17.4M tokens, 768 docs/s at 2c -> 2515 docs/s at 8c).
+BENCH/mixplane_runs.jsonl ({mix_line};
+40k docs / 17.4M tokens per invocation).
 Throughput invocations at 32 cores live in the same ledger
 (`python bench.py --mixplane`).
 
