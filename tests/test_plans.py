@@ -210,3 +210,13 @@ def test_mixture_sample_plan_no_cartesian_boundary_broadcast(spark, sfd):
     assert "BroadcastHashJoin" in plan  # boundary/tail/budget frames
     assert "Window" in plan             # boundary-bucket ranking only
     assert "partial" in plan.lower()    # bucket totals combine map-side
+
+
+def test_frame_sample_meta_join_no_cartesian(spark, sfd):
+    """The merged frame_sample query (frames + per-doc binary meta) must
+    join on doc_id — never a cartesian/nested-loop — and keep the frame
+    side skinny (the mapInPandas output, not re-exploded text)."""
+    plan = _plan(QUERIES["frame_sample"](spark, sfd))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
