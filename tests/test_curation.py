@@ -125,3 +125,58 @@ def test_curate_null_id_quarantined_not_lost(spark):
     assert out.count() == 3            # every input row accounted for
     assert reasons[None] == "null_id"  # quarantined, not lost/kept
     assert reasons[1] is None          # real-id twin unaffected
+
+
+def test_run_curation_job_end_to_end(spark, tmp_path):
+    """The submission-surface orchestration (pii_spark/curatejob.py):
+    curate -> committed parquet -> mix over the committed survivors with
+    a persisted bench-keys artifact -> kept export + report, all counts
+    served from the written files."""
+    from pii_spark.curatejob import run_curation_job
+    from pii_spark.curation import CurationConfig, MixConfig
+    from pii_spark.ops.decontaminate import benchmark_gram_keys
+
+    words = lambda i, n: " ".join(f"p{i}w{j}" for j in range(n))
+    rows = (
+        [(i, "web", f"h{i % 3}", words(i, 40)) for i in range(12)]
+        + [(20, "books", "hb", words(20, 40))]
+        + [(21, "web", "h0", "curto")]            # too_short
+        + [(22, "web", "h1", words(5, 40))]       # exact dup of doc 5
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, host string, text string")
+    bench = spark.createDataFrame(
+        [(0, words(3, 40))], "doc_id long, text string")  # contaminates doc 3
+    kpath = str(tmp_path / "keys")
+    benchmark_gram_keys(bench, n=13).write.parquet(kpath)
+
+    out = run_curation_job(
+        spark, docs, str(tmp_path / "curated"),
+        curation=CurationConfig(min_tokens=10, near_dup_jaccard_pm=None),
+        mix=MixConfig(budgets={"web": 250, "books": 10_000},
+                      decontaminate_n=13),
+        bench_keys=spark.read.parquet(kpath),
+        write_mix_dir=str(tmp_path / "mix"),
+        report_dir=str(tmp_path / "report"),
+    )
+    assert out["docs_in"] == len(rows)
+    assert out["curation"]["too_short"] == 1
+    assert out["curation"]["exact_dup"] == 1
+    assert out["mix"]["contaminated"] == 1            # doc 3 via the artifact
+    assert out["mix"]["over_budget"] >= 1             # web budget bites
+    assert "host_capped" not in out["mix"]            # cap off
+    kept = spark.read.parquet(str(tmp_path / "mix"))
+    assert "drop_reason" not in kept.columns
+    assert 3 not in {r["doc_id"] for r in kept.collect()}
+    rep = {r["source"]: r for r in
+           spark.read.parquet(str(tmp_path / "report")).collect()}
+    assert rep["books"]["achieved_tok"] == rep["books"]["available_tok"]
+    assert rep["web"]["achieved_tok"] <= 250
+    # committed counts equal a fresh read of the audit frames
+    cur = spark.read.parquet(str(tmp_path / "curated"))
+    assert cur.count() == len(rows)
+    # second invocation without overwrite refuses (committed data stands)
+    import pytest as _pt
+    with _pt.raises(Exception):
+        run_curation_job(spark, docs, str(tmp_path / "curated"),
+                         curation=CurationConfig(near_dup_jaccard_pm=None))
