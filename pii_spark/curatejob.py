@@ -58,6 +58,14 @@ def run_curation_job(
     ``host``. The mix consumes the CURATED text (line-dedup may have
     rewritten it) joined back to the input's skinny (doc_id, source,
     host) projection.
+
+    Recovery: writes default to ``errorifexists`` so a rerun cannot
+    silently clobber committed audit frames; after a crash mid-job
+    (e.g. the mix write failed after curate landed) rerun with
+    ``overwrite=True`` — curation is deterministic, so the replaced
+    frames are byte-equal, and this job intentionally has no
+    increment/marker protocol (it is a full-corpus batch; incremental
+    crawls go through ``resume.run_incremental`` + the band index).
     """
     if mix is not None:
         missing = [c for c in ("source",) if c not in docs.columns]
