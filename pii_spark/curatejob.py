@@ -70,11 +70,19 @@ def run_curation_job(
     if mix is not None:
         missing = [c for c in ("source",) if c not in docs.columns]
         if mix.max_tokens_per_host is not None and "host" not in docs.columns:
-            missing.append("host")
+            if "url" in docs.columns:
+                # the crawl schema carries url, not host — derive the cap
+                # key with the same parser the lineage/host stats use so
+                # every surface buckets hosts identically
+                from pii_spark.ops.urls import host_of  # noqa: PLC0415
+
+                docs = docs.withColumn("host", host_of(F.col("url")))
+            else:
+                missing.append("host")
         if missing:
             raise ValueError(
-                f"mix stage needs input column(s) {missing} — derive host "
-                "via ops.urls.host_of(url) upstream if only url is present")
+                f"mix stage needs input column(s) {missing} (host may be "
+                "derived automatically when a url column is present)")
     mode = "overwrite" if overwrite else "errorifexists"
 
     curated = curate(docs, curation)

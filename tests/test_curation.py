@@ -180,3 +180,32 @@ def test_run_curation_job_end_to_end(spark, tmp_path):
     with _pt.raises(Exception):
         run_curation_job(spark, docs, str(tmp_path / "curated"),
                          curation=CurationConfig(near_dup_jaccard_pm=None))
+
+
+def test_run_curation_job_derives_host_from_url(spark, tmp_path):
+    """The crawl schema carries url, not host — when the host cap is on
+    and only url is present, the job derives host with ops.urls.host_of
+    so every surface buckets hosts identically."""
+    from pii_spark.curatejob import run_curation_job
+    from pii_spark.curation import CurationConfig, MixConfig
+
+    words = lambda i: " ".join(f"q{i}w{j}" for j in range(40))
+    rows = [(i, "web", f"https://h{i % 2}.ex.com/p/{i}", words(i))
+            for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, url string, text string")
+    out = run_curation_job(
+        spark, docs, str(tmp_path / "c"),
+        curation=CurationConfig(min_tokens=5, near_dup_jaccard_pm=None),
+        mix=MixConfig(budgets={"web": 10_000}, decontaminate_n=None,
+                      max_tokens_per_host=100))
+    # both hosts exceed 100 tokens -> the cap fires on derived hosts
+    assert out["mix"].get("host_capped", 0) > 0
+    # without url OR host, the same config refuses loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="host"):
+        run_curation_job(
+            spark, docs.drop("url"), str(tmp_path / "c2"),
+            curation=CurationConfig(near_dup_jaccard_pm=None),
+            mix=MixConfig(budgets={"web": 1}, decontaminate_n=None,
+                          max_tokens_per_host=1))
