@@ -166,13 +166,30 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
     reason = F.lit(None).cast("string")
     for cond, r in reversed(gates):  # first listed gate wins
         reason = F.when(cond, r).otherwise(reason)
-    tagged = sig.select(id_col, "text", reason.alias("drop_reason"))
-    live = tagged.where(F.col("drop_reason").isNull()).select(id_col, "text")
 
-    # --- stages 3+4: exact then near dedup among quality survivors -------
     eager = cfg.near_dup_jaccard_pm is not None
     if eager:
         from pyspark import StorageLevel  # noqa: PLC0415
+
+        # SKINNY (id, drop_reason) localCheckpoint: in eager mode the
+        # gate frame is evaluated by three separate jobs (the exact
+        # stage's checkpoint, the live2 persist, the final stitch), and
+        # the n-gram repetition stats are the most expensive expression
+        # in the whole DAG — uncheckpointed they re-ran per job
+        # (measured: full DAG 181 s vs 72 s for one gates pass on a
+        # 4000-doc long-text corpus). Text is NOT pinned: it re-attaches
+        # from d by id join, so the checkpoint is two thin columns.
+        # With near-dedup off the plan stays fully lazy (same contract
+        # as the other eager-section caches).
+        reasons = sig.select(id_col, reason.alias("drop_reason")) \
+            .localCheckpoint(eager=True)
+        tagged = d.join(reasons, id_col).select(
+            id_col, "text", "drop_reason")
+    else:
+        tagged = sig.select(id_col, "text", reason.alias("drop_reason"))
+    live = tagged.where(F.col("drop_reason").isNull()).select(id_col, "text")
+
+    # --- stages 3+4: exact then near dedup among quality survivors -------
 
     # Every transient persist registers here and is released in ONE finally:
     # a failure anywhere in the eager section (the eager localCheckpoint

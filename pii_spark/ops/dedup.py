@@ -66,12 +66,34 @@ def _near_union_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(df: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct 3-gram word shingles per doc. Built with
-    sequence + transform (no UDF); explode is the only row-expansion.
+    """(doc_id, sh): distinct 3-gram word shingles per doc, via ONE codegen
+    ``regexp_extract_all`` pass — space runs collapse to single spaces
+    (tokens are maximal non-space runs, so ``[^ ]`` in the pattern, NOT
+    ``\\S``: tabs/newlines stay INSIDE tokens, matching the frozen
+    split-on-' ' spec and ``_SHINGLES_SQL``), then a zero-width match at
+    every token start captures the next 3 tokens by lookahead.
 
-    Docs with fewer than 3 tokens yield no shingles — guarded explicitly:
-    Spark's sequence(1, 0) counts DOWN to [1, 0] (unlike DuckDB's empty
-    generate_series), which would index element_at out of bounds."""
+    Replaces the sequence+transform HOF build (kept as ``_shingles_hof``,
+    the differential-pinned executable spec): HOF lambdas evaluate
+    interpreted per element, and the old body embedded the split()
+    expression — re-tokenizing the doc at every shingle position, which
+    made the LSH stage ~60 s per 4000 x 3.4k-token docs on 32 cores.
+    Docs with fewer than 3 tokens yield no shingles; NULL text none."""
+    norm = F.trim(F.regexp_replace(F.col("text"), " +", " "))
+    sh = F.coalesce(
+        F.regexp_extract_all(
+            norm, F.lit(r"(?<![^ ])(?=(([^ ]+ ){2}[^ ]+))"), F.lit(1)),
+        F.array().cast("array<string>"))
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+
+
+def _shingles_hof(df: DataFrame) -> DataFrame:
+    """EXECUTABLE SPEC (tests only — see ``_shingles``): the original
+    sequence + transform shingle build. Docs with fewer than 3 tokens
+    yield no shingles — guarded explicitly: Spark's sequence(1, 0) counts
+    DOWN to [1, 0] (unlike DuckDB's empty generate_series), which would
+    index element_at out of bounds. Do not call on large inputs (the
+    embedded split() re-runs per shingle position in interpreted mode)."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     idx = F.when(
         F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)

@@ -7,7 +7,7 @@ oracle compare is float-noise-free."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MARKERS = ["table", "query", "stream", "vector"]
@@ -390,6 +390,34 @@ def dup_line_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _ws_norm(text_col: str) -> Column:
+    """``text_col`` with every ASCII-whitespace run collapsed to one space
+    and the ends trimmed — the canonical single-space form over which word
+    n-grams become a pure regex extraction. Token set/order and token
+    characters are exactly those of ``split(text, r'\\s+')`` minus empties
+    (the family's frozen tokenization)."""
+    return F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+
+
+def _all_grams(norm: Column, n: int) -> Column:
+    """EVERY overlapping word ``n``-gram (case preserved, one array element
+    per occurrence) of a ``_ws_norm``-normalized column, via ONE codegen
+    ``regexp_extract_all`` — a zero-width match anchored at each token
+    start (``(?<![^ ])``) captures the next ``n`` tokens by lookahead.
+
+    This is the production replacement for the sequence+transform HOF gram
+    build: higher-order lambdas run INTERPRETED per element, and a lambda
+    body that embeds the tokenization expression re-splits the document
+    once per gram position — measured 72 s for 4000 x 3.4k-token docs on
+    32 cores for the gate stats; the regex form is a single linear pass
+    in whole-stage codegen. Exact parity with the HOF form is pinned by
+    ``ngram_repetition_stats_hof`` differential tests. NULL text carries
+    no grams (empty array, never NULL)."""
+    pat = r"(?<![^ ])(?=((?:\S+ ){%d}\S+))" % (n - 1)
+    return F.coalesce(F.regexp_extract_all(norm, F.lit(pat), F.lit(1)),
+                      F.array().cast("array<string>"))
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
@@ -411,18 +439,15 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     """
     line_stats = dup_line_stats(docs, id_col=id_col, text_col=text_col)
 
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    # two-step projection: normalize once, then extract grams from the
+    # ATTRIBUTE (see _all_grams — the HOF form this replaces re-split the
+    # doc per gram position in interpreted mode)
     grams = docs.select(
+        F.col(id_col), _ws_norm(text_col).alias("__norm")
+    ).select(
         F.col(id_col),
-        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-        .alias("tok_chars"),
-        F.explode(F.when(
-            F.size(toks) >= 2,
-            F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-                        lambda i: F.concat_ws(
-                            " ", F.element_at(toks, i),
-                            F.element_at(toks, i + 1)))
-        ).otherwise(F.array().cast("array<string>"))).alias("g"),
+        F.length(F.translate(F.col("__norm"), " ", "")).alias("tok_chars"),
+        F.explode(_all_grams(F.col("__norm"), 2)).alias("g"),
     )
     top = (
         grams.groupBy(id_col, "tok_chars", "g")
@@ -479,7 +504,84 @@ def ngram_repetition_stats(
     pivot back to columns — shuffles only on doc-local keys. Floored
     per-mille integers; ties broken (count, gram chars, gram) like
     ``repetition_stats``.
+
+    Gram derivation is the codegen regex pass (``_all_grams``); the
+    original sequence+transform HOF build survives as
+    ``ngram_repetition_stats_hof``, the executable spec the differential
+    test pins this against — the HOF lambda body embedded the split()
+    expression, re-tokenizing the doc at every gram position in
+    interpreted mode (the hazard ``decontaminate._grams`` documents),
+    which made THIS function ~72 s per 4000 long docs in the curation
+    gates.
     """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns or min(ns) < 2:
+        raise ValueError(f"n-gram sizes must be >= 2, got {ns}")
+    norm = F.col("__norm")
+
+    def tagged(n: int) -> Column:
+        # transform over an already-extracted array: the collection
+        # argument is evaluated once per row; the lambda body is a
+        # struct-wrap of the element — O(1), no embedded expressions.
+        # One-arg closure, NOT a defaulted lambda: pyspark reads a
+        # 2-parameter callable as (element, index).
+        def wrap(g: Column) -> Column:
+            return F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+        return F.transform(_all_grams(norm, n), wrap)
+
+    exploded = docs.select(
+        F.col(id_col), _ws_norm(text_col).alias("__norm")
+    ).select(
+        F.col(id_col),
+        F.length(F.translate(norm, " ", "")).alias("tok_chars"),
+        F.explode(F.concat(*[tagged(n) for n in ns])).alias("x"),
+    ).select(id_col, "tok_chars", "x.n", "x.g")
+    counts = exploded.groupBy(id_col, "tok_chars", "n", "g").agg(
+        F.count("*").alias("c"))
+    glen = F.length("g") - (F.col("n") - 1)  # token chars (minus spaces)
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max(F.struct(F.col("c"), glen.alias("gl"), F.col("g"))).alias("m"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * glen).otherwise(0))
+        .alias("dup_chars"),
+        F.first("tok_chars").alias("tc"),
+    ).select(
+        id_col, "n",
+        # both capped at 1000: overlapping occurrences multi-count chars
+        # ("a a a a" has 3 overlapping "a a"), so the raw sums can exceed
+        # the doc — consumers treat these as [0, 1000] fractions
+        F.least(F.lit(1000), F.floor(
+            F.col("m.c") * F.col("m.gl") * 1000.0 / F.col("tc"))
+            .cast("long")).alias("top_pm"),
+        F.least(F.lit(1000), F.floor(
+            F.col("dup_chars") * 1000.0 / F.col("tc")).cast("long"))
+        .alias("dup_pm"),
+    )
+    agg_cols = (
+        [F.max(F.when(F.col("n") == n, F.col("top_pm")))
+         .alias(f"top_{n}gram_char_pm") for n in sorted(set(top_ns))]
+        + [F.max(F.when(F.col("n") == n, F.col("dup_pm")))
+           .alias(f"dup_{n}gram_char_pm") for n in sorted(set(dup_ns))]
+    )
+    stats = per_n.groupBy(id_col).agg(*agg_cols)
+    out_cols = [c for c in stats.columns if c != id_col]
+    return docs.select(id_col).join(stats, id_col, "left").select(
+        id_col, *[F.coalesce(c, F.lit(0)).alias(c) for c in out_cols])
+
+
+def ngram_repetition_stats_hof(
+    docs: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXECUTABLE SPEC (tests only — see ``ngram_repetition_stats``): the
+    original sequence+transform gram build, kept verbatim so the
+    production regex derivation stays differential-pinned against the
+    readable HOF semantics. Do not call on large inputs: the lambda body
+    embeds the split() expression, which interpreted HOF evaluation
+    re-runs at every gram position (quadratic in document length)."""
     ns = sorted(set(top_ns) | set(dup_ns))
     if not ns or min(ns) < 2:
         raise ValueError(f"n-gram sizes must be >= 2, got {ns}")
@@ -505,7 +607,7 @@ def ngram_repetition_stats(
     ).select(id_col, "tok_chars", "x.n", "x.g")
     counts = exploded.groupBy(id_col, "tok_chars", "n", "g").agg(
         F.count("*").alias("c"))
-    glen = F.length("g") - (F.col("n") - 1)  # token chars (minus spaces)
+    glen = F.length("g") - (F.col("n") - 1)
     per_n = counts.groupBy(id_col, "n").agg(
         F.max(F.struct(F.col("c"), glen.alias("gl"), F.col("g"))).alias("m"),
         F.sum(F.when(F.col("c") >= 2, F.col("c") * glen).otherwise(0))
@@ -513,9 +615,6 @@ def ngram_repetition_stats(
         F.first("tok_chars").alias("tc"),
     ).select(
         id_col, "n",
-        # both capped at 1000: overlapping occurrences multi-count chars
-        # ("a a a a" has 3 overlapping "a a"), so the raw sums can exceed
-        # the doc — consumers treat these as [0, 1000] fractions
         F.least(F.lit(1000), F.floor(
             F.col("m.c") * F.col("m.gl") * 1000.0 / F.col("tc"))
             .cast("long")).alias("top_pm"),

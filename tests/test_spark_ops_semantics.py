@@ -665,3 +665,78 @@ def test_knn_frames_exclude_null_embeddings(spark):
     lsh = knn_lsh_frame(e, n_queries=13, k=3).collect()
     assert 12 not in {r["query_id"] for r in lsh}
     assert 12 not in {r["neighbor_id"] for r in lsh}
+
+
+# --- codegen-regex gram/shingle derivations vs their HOF executable specs
+
+
+_GRAM_ADVERSARIAL = [
+    "",
+    " ",
+    "\t\n  \r",
+    "um",
+    "um dois",
+    "um dois tres",
+    "a  b\tc\nd   e",              # mixed whitespace runs
+    " leading e trailing ",
+    "ab\x85c d e",                 # \x85 is NOT Java \s: stays in a token
+    "a\xa0b c d e",               # NBSP likewise
+    "x " * 50,                     # maximal repetition
+    "tok" * 2000 + " fim disso",   # one giant token
+    "p q r s t u v w x y z " * 40,
+    "pontua, cao; e (parens) [demais] {ainda}",
+    "numeros 12 34 12 34 12 34 fim",
+]
+
+
+def _rand_texts(n=60, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    alphabet = ["casa", "rio", "12", "a", "bb", "x\ty", "fim.", "",
+                "é", "são"]
+    ws = [" ", "  ", "\t", "\n", " \t ", "\r\n"]
+    out = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rng.randrange(0, 40)):
+            parts.append(rng.choice(alphabet))
+            parts.append(rng.choice(ws))
+        out.append("".join(parts))
+    return out
+
+
+def test_ngram_repetition_stats_matches_hof_spec(spark):
+    """The production codegen-regex gram derivation must be row-identical
+    to the sequence+transform executable spec on adversarial + fuzz
+    corpora (incl. NULL text and non-Java-whitespace unicode spaces)."""
+    from pii_spark.ops.textstats import (
+        ngram_repetition_stats,
+        ngram_repetition_stats_hof,
+    )
+
+    texts = _GRAM_ADVERSARIAL + _rand_texts() + [None]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    kw = dict(top_ns=(2, 3), dup_ns=(2, 5, 10))
+    got = {r["doc_id"]: r.asDict()
+           for r in ngram_repetition_stats(df, **kw).collect()}
+    want = {r["doc_id"]: r.asDict()
+            for r in ngram_repetition_stats_hof(df, **kw).collect()}
+    assert got == want
+
+
+def test_shingles_match_hof_spec(spark):
+    """The production codegen-regex shingle pass must emit the same
+    (doc_id, sh) set as the sequence+transform spec — including tokens
+    that CONTAIN tabs/newlines (split-on-' ' semantics, not backslash-s)."""
+    from pii_spark.ops.dedup import _shingles, _shingles_hof
+
+    texts = _GRAM_ADVERSARIAL + _rand_texts(seed=11) + [None]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {(r["doc_id"], r["sh"]) for r in _shingles(df).collect()}
+    want = {(r["doc_id"], r["sh"]) for r in _shingles_hof(df).collect()}
+    assert got == want
+    # both emit per-doc DISTINCT shingles, so row counts must agree too
+    assert _shingles(df).count() == _shingles_hof(df).count()
