@@ -110,6 +110,11 @@ def main() -> int:
                     help="same assemble_mix job at 2 vs 8 cores (the pair-A "
                          "N-vs-4N proxy) on one on-disk corpus -> appends a "
                          "mode='scaling' line to BENCH/mixplane_runs.jsonl")
+    ap.add_argument("--cureplane", action="store_true",
+                    help="curation-plane bench (curate: gates -> exact dedup "
+                         "-> LSH near-dedup + CC over the sf documents table "
+                         "replicated 8x with planted exact/near duplicate "
+                         "clusters) -> appends BENCH/cureplane_runs.jsonl")
     ap.add_argument("--repeats", type=int, default=3,
                     help="scaling mode: timed runs per config (median taken)")
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -130,6 +135,8 @@ def main() -> int:
         return mixplane(args.sf_dir, sf, repeats=args.repeats)
     if args.mixplane_scaling:
         return mixplane_scaling(args.sf_dir, sf, repeats=args.repeats)
+    if args.cureplane:
+        return cureplane(args.sf_dir, sf, repeats=args.repeats)
     if args.scaling:
         return scaling(args.sf_dir, sf, repeats=args.repeats)
 
@@ -339,6 +346,74 @@ def mixplane(sf_dir: str, sf: float, repeats: int = 3,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/mixplane_runs.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return 0
+
+
+def cureplane(sf_dir: str, sf: float, repeats: int = 3,
+              scale: int = 8) -> int:
+    """Curation-plane bench: time the full ``curate`` DAG (quality gates →
+    exact dedup → LSH near-dedup + connected components) over the sf
+    ``documents`` table replicated ``scale``x with PLANTED duplicate
+    structure — per base doc, replicas 0 and 1 share identical text
+    (exact-dup work) and replicas 2+ append a tiny distinct suffix
+    (near-dup work at Jaccard ≈ 1), so both dedup stages process real
+    clusters instead of a no-op corpus. Text is inflated 8x to realistic
+    ~430-token docs (same rationale as ``mixplane_scaling``) by
+    concatenating 8 DIFFERENTLY-``translate``d copies (rotations of a
+    9-letter alphabet), never the same copy twice: a self-concatenated
+    doc is ~7/8 duplicated 5-grams and the Gopher gates would drop the
+    ENTIRE corpus before the dedup stages see a row, while rotated
+    copies share a 5-gram only if 5 consecutive words avoid all 9
+    letters. The corpus is persisted and counted before timing. Median
+    of ``repeats``; appends one JSON line to
+    BENCH/cureplane_runs.jsonl."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from pii_spark.curation import CurationConfig, curate
+    from pii_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(cores=cpus)
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    new_id = F.col("doc_id") * scale + F.col("__k")
+    alph = "aeiousmrt"
+    inflated = F.concat_ws(" ", *[
+        F.translate(F.col("text"), alph, alph[j:] + alph[:j])
+        for j in range(8)])
+    suffix = F.when(F.col("__k") < 2, F.lit("")).otherwise(
+        F.concat(F.lit(" fim replica "), F.col("__k").cast("string")))
+    docs = (
+        base.select("doc_id", "text")
+        .withColumn("__k", F.explode(F.sequence(F.lit(0),
+                                                F.lit(scale - 1))))
+        .select(new_id.alias("doc_id"),
+                F.concat(inflated, suffix).alias("text"))
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n_docs = docs.count()
+    cfg = CurationConfig(exact_dedup=True, near_dup_jaccard_pm=500)
+    times, reasons = [], {}
+    for _ in range(max(1, repeats) + 1):  # first pass warms up
+        t0 = time.time()
+        out = curate(docs, cfg)
+        reasons = {(r["drop_reason"] or "kept"): r["count"] for r in
+                   out.groupBy("drop_reason").count().collect()}
+        times.append(time.time() - t0)
+    docs.unpersist()
+    med = statistics.median(times[1:])
+    rec = {
+        "ts": time.time(), "sf": sf, "cpus": cpus, "scale": scale,
+        "n_docs": n_docs, "median_sec": round(med, 3),
+        "docs_per_sec": round(n_docs / med, 1),
+        "outcomes": reasons,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/cureplane_runs.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
     return 0
@@ -703,6 +778,20 @@ def scaling(sf_dir: str, sf: float, repeats: int = 3) -> int:
                 + f" — median {statistics.median(ms):.3f}")
     except FileNotFoundError:
         pass
+    # curation-plane ledger (throughput only — one config per invocation)
+    cure_line = "no invocations recorded yet"
+    try:
+        cure = [json.loads(line) for line in
+                open("BENCH/cureplane_runs.jsonl") if line.strip()]
+        cs = [h["docs_per_sec"] for h in cure]
+        if cs:
+            last = cure[-1]
+            cure_line = (
+                f"median {statistics.median(cs):.0f} docs/sec across "
+                f"{len(cs)} invocations ({last['n_docs']} docs/invocation, "
+                f"latest outcomes {last['outcomes']})")
+    except FileNotFoundError:
+        pass
 
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — throughput + scaling evidence
@@ -785,6 +874,14 @@ BENCH/mixplane_runs.jsonl ({mix_line};
 40k docs / 17.4M tokens per invocation).
 Throughput invocations at 32 cores live in the same ledger
 (`python bench.py --mixplane`).
+
+## Curation plane (secondary job family)
+
+The full `curate` DAG (Gopher gates -> exact dedup -> LSH near-dedup +
+connected components) over the sf documents table replicated 8x with
+planted exact/near duplicate clusters and ~430-token docs:
+`python bench.py --cureplane` -> BENCH/cureplane_runs.jsonl
+({cure_line}).
 
 Reproduce: `python bench.py --scaling` (appends an invocation to
 BENCH/scaling_runs.jsonl and regenerates this file from the full history;
