@@ -64,7 +64,7 @@ from pii_spark.ops.mixing import (
     cap_host_tokens,
     sample_mixture,
 )
-from pii_spark.ops.textstats import dup_line_stats, ngram_repetition_stats
+from pii_spark.ops.textstats import dup_line_stats, with_ngram_repetition_stats
 
 
 @dataclass(frozen=True)
@@ -147,10 +147,12 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
             .withColumn("dup_line_pm", F.coalesce("dup_line_pm", F.lit(0)))
     if (cfg.max_top_2gram_char_pm is not None
             or cfg.max_dup_5gram_char_pm is not None):
-        sig = sig.join(
-            ngram_repetition_stats(d, top_ns=(2,), dup_ns=(5,),
-                                   id_col=id_col, text_col="text"),
-            id_col)
+        # inline narrow projection, NOT a join back to a stats frame: the
+        # old id-join shuffled the corpus TEXT on both sides just to
+        # re-attach per-doc arithmetic (measured 206 s of a 227 s pass at
+        # sf0.1 before _run_stats made the stats doc-local)
+        sig = with_ngram_repetition_stats(sig, top_ns=(2,), dup_ns=(5,),
+                                          text_col="text")
     gates = []
     if cfg.min_tokens is not None:
         gates.append((F.col("n_tok") < cfg.min_tokens, "too_short"))
@@ -173,14 +175,15 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
 
         # SKINNY (id, drop_reason) localCheckpoint: in eager mode the
         # gate frame is evaluated by three separate jobs (the exact
-        # stage's checkpoint, the live2 persist, the final stitch), and
-        # the n-gram repetition stats are the most expensive expression
-        # in the whole DAG — uncheckpointed they re-ran per job
-        # (measured: full DAG 181 s vs 72 s for one gates pass on a
-        # 4000-doc long-text corpus). Text is NOT pinned: it re-attaches
-        # from d by id join, so the checkpoint is two thin columns.
-        # With near-dedup off the plan stays fully lazy (same contract
-        # as the other eager-section caches).
+        # stage's checkpoint, the live2 persist, the final stitch) —
+        # uncheckpointed, the gate stats re-ran per job (measured when
+        # they were the dominant expression: full DAG 181 s vs 72 s for
+        # one gates pass; still ~19 s/pass at sf0.1 after the
+        # _run_stats doc-local rewrite, worth running once). Text is
+        # NOT pinned: it re-attaches from d by id join, so the
+        # checkpoint is two thin columns. With near-dedup off the plan
+        # stays fully lazy (same contract as the other eager-section
+        # caches).
         reasons = sig.select(id_col, reason.alias("drop_reason")) \
             .localCheckpoint(eager=True)
         tagged = d.join(reasons, id_col).select(

@@ -418,6 +418,115 @@ def _all_grams(norm: Column, n: int) -> Column:
                       F.array().cast("array<string>"))
 
 
+def _run_stats(norm: Column, n: int) -> Column:
+    """struct(c, gl, dup) of a document's word ``n``-grams, computed
+    DOC-LOCALLY: ``c``/``gl`` are the most frequent gram's count and
+    token-char length (ties broken (count, chars, gram) like the groupBy
+    form), ``dup`` the total chars inside grams occurring >= 2 times.
+
+    Sort the gram array, then ONE linear interpreted-HOF scan over the
+    runs — the accumulator carries (prev, run, best, dup) and every lambda
+    body is O(1) over the element and accumulator (the safe HOF shape).
+    This replaces the explode -> groupBy(id, n, gram) derivation: every
+    aggregation key there contained the doc id, so the shuffle moved
+    corpus-sized gram STRINGS only to reassemble rows that already lived
+    together — measured 206 s of a 227 s curate() pass at sf0.1 (40k
+    3.4k-token docs, 32 cores) for what is per-doc arithmetic. Zero
+    explode, zero shuffle, zero join: the gate stats become a narrow
+    projection that scales with partitions, not with shuffle fabric."""
+    grams = F.array_sort(_all_grams(norm, n))
+    zero = F.lit(0).cast("long")
+    best0 = F.struct(zero.alias("c"), zero.alias("gl"),
+                     F.lit(None).cast("string").alias("g"))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"), zero.alias("run"),
+        best0.alias("best"), zero.alias("dup"),
+    )
+
+    def glen(g: Column) -> Column:
+        return (F.length(g) - F.lit(n - 1)).cast("long")
+
+    def closed(acc: Column) -> tuple[Column, Column]:
+        # the accumulator with its open run folded in; ONLY evaluated
+        # under a prev-is-not-null guard (glen(NULL) would poison the
+        # struct comparison in greatest)
+        fb = F.greatest(acc["best"], F.struct(
+            acc["run"].alias("c"), glen(acc["prev"]).alias("gl"),
+            acc["prev"].alias("g")))
+        fd = acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * glen(acc["prev"])).otherwise(zero)
+        return fb, fd
+
+    def merge(acc: Column, g: Column) -> Column:
+        first = acc["prev"].isNull()
+        same = ~first & (acc["prev"] == g)
+        fb, fd = closed(acc)
+        keep = first | same  # run still open (or nothing to close yet)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(keep, acc["best"]).otherwise(fb).alias("best"),
+            F.when(keep, acc["dup"]).otherwise(fd).alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        fb, fd = closed(acc)
+        done = acc["prev"].isNotNull()
+        return F.struct(
+            F.when(done, fb["c"]).otherwise(zero).alias("c"),
+            F.when(done, fb["gl"]).otherwise(zero).alias("gl"),
+            F.when(done, fd).otherwise(zero).alias("dup"),
+        )
+
+    return F.aggregate(grams, init, merge, finish)
+
+
+def _pm_from_stats(s: Column, tc: Column) -> tuple[Column, Column]:
+    """(top_pm, dup_pm) from a ``_run_stats`` struct and the doc's token
+    chars — the exact per-mille math of the groupBy form (floored, capped
+    at 1000; a doc with no grams reads 0 for both, matching the old
+    left-join coalesce)."""
+    zero = F.lit(0).cast("long")
+    top = F.when(s["c"] > 0, F.least(F.lit(1000), F.floor(
+        s["c"] * s["gl"] * 1000.0 / tc).cast("long"))).otherwise(zero)
+    dup = F.when(s["c"] > 0, F.least(F.lit(1000), F.floor(
+        s["dup"] * 1000.0 / tc).cast("long"))).otherwise(zero)
+    return F.coalesce(top, zero), F.coalesce(dup, zero)
+
+
+def with_ngram_repetition_stats(
+    docs: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    text_col: str = "text",
+) -> DataFrame:
+    """``docs`` plus the ``top_{n}gram_char_pm`` / ``dup_{n}gram_char_pm``
+    columns, as a pure NARROW projection (``_run_stats``): no explode, no
+    shuffle, no join — the form ``curation.curate`` consumes inline so the
+    quality gates never move text through an exchange. Each heavy
+    expression (the normalization, each per-n aggregate) lands in its own
+    projection and is referenced downstream as an attribute."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns or min(ns) < 2:
+        raise ValueError(f"n-gram sizes must be >= 2, got {ns}")
+    tmp = docs.withColumn("__nrs_norm", _ws_norm(text_col))
+    tmp = tmp.withColumn(
+        "__nrs_tc",
+        F.length(F.translate(F.col("__nrs_norm"), " ", "")).cast("long"))
+    for n in ns:
+        tmp = tmp.withColumn(f"__nrs_s{n}",
+                             _run_stats(F.col("__nrs_norm"), n))
+    for n in sorted(set(top_ns)):
+        top, _ = _pm_from_stats(F.col(f"__nrs_s{n}"), F.col("__nrs_tc"))
+        tmp = tmp.withColumn(f"top_{n}gram_char_pm", top)
+    for n in sorted(set(dup_ns)):
+        _, dup = _pm_from_stats(F.col(f"__nrs_s{n}"), F.col("__nrs_tc"))
+        tmp = tmp.withColumn(f"dup_{n}gram_char_pm", dup)
+    return tmp.drop("__nrs_norm", "__nrs_tc",
+                    *[f"__nrs_s{n}" for n in ns])
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
@@ -439,32 +548,11 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     """
     line_stats = dup_line_stats(docs, id_col=id_col, text_col=text_col)
 
-    # two-step projection: normalize once, then extract grams from the
-    # ATTRIBUTE (see _all_grams — the HOF form this replaces re-split the
-    # doc per gram position in interpreted mode)
-    grams = docs.select(
-        F.col(id_col), _ws_norm(text_col).alias("__norm")
-    ).select(
-        F.col(id_col),
-        F.length(F.translate(F.col("__norm"), " ", "")).alias("tok_chars"),
-        F.explode(_all_grams(F.col("__norm"), 2)).alias("g"),
-    )
-    top = (
-        grams.groupBy(id_col, "tok_chars", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col, "tok_chars")
-        .agg(F.max(F.struct(
-            F.col("c"), (F.length("g") - F.lit(1)).alias("glen"),
-            F.col("g"))).alias("m"))
-        .select(
-            id_col,
-            # capped like the ngram family: overlapping repeats multi-count
-            F.least(F.lit(1000), F.floor(
-                F.col("m.c") * F.col("m.glen") * 1000.0
-                / F.col("tok_chars")).cast("long"))
-            .alias("top_bigram_char_pm"),
-        )
-    )
+    # top bigram via the shuffle-free doc-local scan (_run_stats)
+    top = with_ngram_repetition_stats(
+        docs.select(F.col(id_col), F.col(text_col).alias("text")),
+        top_ns=(2,), dup_ns=(), text_col="text",
+    ).select(id_col, "top_2gram_char_pm")
     return (
         docs.select(id_col)
         .join(line_stats, id_col, "left")
@@ -474,7 +562,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             F.coalesce("dup_line_pm", F.lit(0)).alias("dup_line_pm"),
             F.coalesce("dup_line_char_pm", F.lit(0))
             .alias("dup_line_char_pm"),
-            F.coalesce("top_bigram_char_pm", F.lit(0))
+            F.coalesce("top_2gram_char_pm", F.lit(0))
             .alias("top_bigram_char_pm"),
         )
     )
@@ -499,74 +587,26 @@ def ngram_repetition_stats(
       overlapping occurrences may multi-count, so the sum can exceed the
       doc).
 
-    One explode over all requested n sizes at once (array-concat of
-    per-n gram arrays, struct-tagged), one (doc, n, gram) count, one
-    pivot back to columns — shuffles only on doc-local keys. Floored
-    per-mille integers; ties broken (count, gram chars, gram) like
-    ``repetition_stats``.
-
-    Gram derivation is the codegen regex pass (``_all_grams``); the
-    original sequence+transform HOF build survives as
+    Pure doc-local computation (``with_ngram_repetition_stats``): grams
+    derive in one codegen regex pass per n (``_all_grams``), the per-doc
+    counts in one sorted-run scan (``_run_stats``) — no explode, no
+    shuffle, no join. Floored per-mille integers; ties broken (count,
+    gram chars, gram) like ``repetition_stats``. The original
+    sequence+transform explode/groupBy build survives as
     ``ngram_repetition_stats_hof``, the executable spec the differential
-    test pins this against — the HOF lambda body embedded the split()
-    expression, re-tokenizing the doc at every gram position in
-    interpreted mode (the hazard ``decontaminate._grams`` documents),
-    which made THIS function ~72 s per 4000 long docs in the curation
-    gates.
+    test pins this against — it both re-tokenized the doc at every gram
+    position (the interpreted-HOF hazard ``decontaminate._grams``
+    documents) and shuffled corpus-sized gram strings for what is per-doc
+    arithmetic.
     """
-    ns = sorted(set(top_ns) | set(dup_ns))
-    if not ns or min(ns) < 2:
-        raise ValueError(f"n-gram sizes must be >= 2, got {ns}")
-    norm = F.col("__norm")
-
-    def tagged(n: int) -> Column:
-        # transform over an already-extracted array: the collection
-        # argument is evaluated once per row; the lambda body is a
-        # struct-wrap of the element — O(1), no embedded expressions.
-        # One-arg closure, NOT a defaulted lambda: pyspark reads a
-        # 2-parameter callable as (element, index).
-        def wrap(g: Column) -> Column:
-            return F.struct(F.lit(n).alias("n"), g.alias("g"))
-
-        return F.transform(_all_grams(norm, n), wrap)
-
-    exploded = docs.select(
-        F.col(id_col), _ws_norm(text_col).alias("__norm")
+    return with_ngram_repetition_stats(
+        docs.select(F.col(id_col), F.col(text_col).alias("text")),
+        top_ns=top_ns, dup_ns=dup_ns, text_col="text",
     ).select(
-        F.col(id_col),
-        F.length(F.translate(norm, " ", "")).alias("tok_chars"),
-        F.explode(F.concat(*[tagged(n) for n in ns])).alias("x"),
-    ).select(id_col, "tok_chars", "x.n", "x.g")
-    counts = exploded.groupBy(id_col, "tok_chars", "n", "g").agg(
-        F.count("*").alias("c"))
-    glen = F.length("g") - (F.col("n") - 1)  # token chars (minus spaces)
-    per_n = counts.groupBy(id_col, "n").agg(
-        F.max(F.struct(F.col("c"), glen.alias("gl"), F.col("g"))).alias("m"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * glen).otherwise(0))
-        .alias("dup_chars"),
-        F.first("tok_chars").alias("tc"),
-    ).select(
-        id_col, "n",
-        # both capped at 1000: overlapping occurrences multi-count chars
-        # ("a a a a" has 3 overlapping "a a"), so the raw sums can exceed
-        # the doc — consumers treat these as [0, 1000] fractions
-        F.least(F.lit(1000), F.floor(
-            F.col("m.c") * F.col("m.gl") * 1000.0 / F.col("tc"))
-            .cast("long")).alias("top_pm"),
-        F.least(F.lit(1000), F.floor(
-            F.col("dup_chars") * 1000.0 / F.col("tc")).cast("long"))
-        .alias("dup_pm"),
+        id_col,
+        *[f"top_{n}gram_char_pm" for n in sorted(set(top_ns))],
+        *[f"dup_{n}gram_char_pm" for n in sorted(set(dup_ns))],
     )
-    agg_cols = (
-        [F.max(F.when(F.col("n") == n, F.col("top_pm")))
-         .alias(f"top_{n}gram_char_pm") for n in sorted(set(top_ns))]
-        + [F.max(F.when(F.col("n") == n, F.col("dup_pm")))
-           .alias(f"dup_{n}gram_char_pm") for n in sorted(set(dup_ns))]
-    )
-    stats = per_n.groupBy(id_col).agg(*agg_cols)
-    out_cols = [c for c in stats.columns if c != id_col]
-    return docs.select(id_col).join(stats, id_col, "left").select(
-        id_col, *[F.coalesce(c, F.lit(0)).alias(c) for c in out_cols])
 
 
 def ngram_repetition_stats_hof(
