@@ -64,7 +64,10 @@ from pii_spark.ops.mixing import (
     cap_host_tokens,
     sample_mixture,
 )
-from pii_spark.ops.textstats import dup_line_stats, with_ngram_repetition_stats
+from pii_spark.ops.textstats import (
+    with_dup_line_stats,
+    with_ngram_repetition_stats,
+)
 
 
 @dataclass(frozen=True)
@@ -139,12 +142,10 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
         "n_tok",
         F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(toks)))
     if cfg.max_dup_line_pm is not None:
-        # line-stats-only helper: curate never reads the bigram half of
-        # repetition_stats, and the n-gram join below computes its own
-        sig = sig.join(
-            dup_line_stats(d, id_col=id_col, text_col="text")
-            .select(id_col, "dup_line_pm"), id_col, "left") \
-            .withColumn("dup_line_pm", F.coalesce("dup_line_pm", F.lit(0)))
+        # inline narrow projection (docs with no non-blank lines read 0);
+        # curate never reads the bigram half of repetition_stats
+        sig = with_dup_line_stats(sig, text_col="text") \
+            .drop("dup_line_char_pm")
     if (cfg.max_top_2gram_char_pm is not None
             or cfg.max_dup_5gram_char_pm is not None):
         # inline narrow projection, NOT a join back to a stats frame: the

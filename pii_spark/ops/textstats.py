@@ -364,19 +364,117 @@ def register_queries(register) -> None:
         )
 
 
+def _line_run_stats(text_col: str) -> Column:
+    """struct(n, dups, tc, dc) of a document's non-blank trimmed lines,
+    computed DOC-LOCALLY (same shape as ``_run_stats``): ``n`` lines,
+    ``dups`` lines repeating an earlier one (= elements equal to their
+    predecessor in the sorted array), ``tc`` total line chars, ``dc``
+    chars inside lines occurring >= 2 times. Zero explode, zero shuffle —
+    the explode → groupBy(id, line) form moved line STRINGS through an
+    exchange keyed entirely by doc-local values. Full whitespace trim
+    (not F.trim's spaces-only): CRLF corpora leave a trailing CR on every
+    line, which must not break line identity. The per-element
+    regexp/compare work here is on the ELEMENT, not a re-evaluated
+    whole-document expression — the safe interpreted-HOF shape."""
+    trimmed = F.transform(
+        F.split(F.col(text_col), "\n"),
+        lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""))
+    arr = F.array_sort(F.coalesce(
+        F.filter(trimmed, lambda x: x != ""),
+        F.array().cast("array<string>")))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"), zero.alias("run"),
+        zero.alias("n"), zero.alias("dups"), zero.alias("tc"),
+        zero.alias("dc"),
+    )
+
+    def merge(acc: Column, line: Column) -> Column:
+        first = acc["prev"].isNull()
+        same = ~first & (acc["prev"] == line)
+        keep = first | same  # run still open (or nothing to close yet)
+        closed_dc = acc["dc"] + F.when(
+            acc["run"] >= 2,
+            acc["run"] * F.length(acc["prev"]).cast("long")).otherwise(zero)
+        return F.struct(
+            line.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (acc["n"] + 1).alias("n"),
+            (acc["dups"] + F.when(same, 1).otherwise(0)).cast("long")
+            .alias("dups"),
+            (acc["tc"] + F.length(line).cast("long")).alias("tc"),
+            F.when(keep, acc["dc"]).otherwise(closed_dc).alias("dc"),
+        )
+
+    def finish(acc: Column) -> Column:
+        closed_dc = acc["dc"] + F.when(
+            acc["run"] >= 2,
+            acc["run"] * F.length(acc["prev"]).cast("long")).otherwise(zero)
+        return F.struct(
+            acc["n"].alias("n"), acc["dups"].alias("dups"),
+            acc["tc"].alias("tc"),
+            F.when(acc["prev"].isNotNull(), closed_dc).otherwise(zero)
+            .alias("dc"),
+        )
+
+    return F.aggregate(arr, init, merge, finish)
+
+
+def with_dup_line_stats(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """``docs`` plus ``dup_line_pm`` / ``dup_line_char_pm`` columns as a
+    pure narrow projection (``_line_run_stats``) — docs with no non-blank
+    lines read 0 for both (the inline twin of ``dup_line_stats``'s
+    absent-row + caller-coalesce contract)."""
+    zero = F.lit(0).cast("long")
+    tmp = docs.withColumn("__dls", _line_run_stats(text_col))
+    s = F.col("__dls")
+    return tmp.select(
+        *docs.columns,
+        F.coalesce(
+            F.when(s["n"] > 0, F.floor(
+                s["dups"] * 1000.0 / s["n"]).cast("long")),
+            zero).alias("dup_line_pm"),
+        F.coalesce(
+            F.when(s["n"] > 0, F.floor(
+                s["dc"] * 1000.0 / s["tc"]).cast("long")),
+            zero).alias("dup_line_char_pm"),
+    )
+
+
 def dup_line_stats(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Line-repetition half of ``repetition_stats``, standalone so callers
-    needing only the line gates (``curation.curate``) skip the bigram
-    explode entirely. Per doc: ``dup_line_pm`` (per-mille of non-blank
-    lines repeating an earlier line) and ``dup_line_char_pm`` (per-mille
-    of non-blank line chars inside repeated lines). Docs with no non-blank
-    lines are ABSENT (callers coalesce to 0)."""
+    needing only the line gates skip the bigram scan entirely. Per doc:
+    ``dup_line_pm`` (per-mille of non-blank lines repeating an earlier
+    line) and ``dup_line_char_pm`` (per-mille of non-blank line chars
+    inside repeated lines). Docs with no non-blank lines are ABSENT
+    (callers coalesce to 0). Doc-local computation (``_line_run_stats``);
+    the original explode/groupBy form survives as ``dup_line_stats_hof``,
+    the executable spec the differential test pins this against."""
+    s = _line_run_stats(text_col)
+    return docs.select(F.col(id_col), s.alias("__s")).where(
+        F.col("__s.n") > 0
+    ).select(
+        id_col,
+        F.floor(F.col("__s.dups") * 1000.0 / F.col("__s.n"))
+        .cast("long").alias("dup_line_pm"),
+        F.floor(F.col("__s.dc") * 1000.0 / F.col("__s.tc"))
+        .cast("long").alias("dup_line_char_pm"),
+    )
+
+
+def dup_line_stats_hof(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """EXECUTABLE SPEC (tests only — see ``dup_line_stats``): the original
+    explode → groupBy(id, line) derivation, kept verbatim so the
+    doc-local scan stays differential-pinned against the readable form.
+    Do not call on large inputs (the exchange carries line strings keyed
+    only by doc-local values)."""
     lines = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("l")
     ).select(
-        # full whitespace trim (not F.trim's spaces-only): CRLF corpora
-        # leave '\r' on every line, which must not break line identity
         id_col, F.regexp_replace("l", r"^\s+|\s+$", "").alias("l"),
     ).where(F.col("l") != "")
     per_line = lines.groupBy(id_col, "l").agg(F.count("*").alias("c"))

@@ -726,6 +726,43 @@ def test_ngram_repetition_stats_matches_hof_spec(spark):
     assert got == want
 
 
+def test_dup_line_stats_matches_hof_spec(spark):
+    """The doc-local line-run scan must be row-identical to the
+    explode/groupBy executable spec — including CRLF trim identity,
+    blank-line exclusion, and the absent-row contract for docs with no
+    non-blank lines; with_dup_line_stats must read 0 for those."""
+    from pii_spark.ops.textstats import (
+        dup_line_stats,
+        dup_line_stats_hof,
+        with_dup_line_stats,
+    )
+
+    texts = [
+        "a\nb\na\nb\na",
+        "um\r\num\r\num\r\n",            # CRLF: '\r' must not break identity
+        "  linha  \nlinha\n\n\n linha",  # trim + blank lines
+        "",
+        "\n\n\n",
+        " \n \t \n ",
+        "so uma linha",
+        None,
+        "x\n" * 400 + "y",
+        "aa\nbb\ncc\naa\ncc\ncc",
+    ] + _rand_texts(seed=23)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_line_pm"], r["dup_line_char_pm"])
+           for r in dup_line_stats(df).collect()}
+    want = {r["doc_id"]: (r["dup_line_pm"], r["dup_line_char_pm"])
+            for r in dup_line_stats_hof(df).collect()}
+    assert got == want
+    inline = {r["doc_id"]: (r["dup_line_pm"], r["dup_line_char_pm"])
+              for r in with_dup_line_stats(df).collect()}
+    assert len(inline) == len(texts)  # inline keeps EVERY row
+    for i in range(len(texts)):
+        assert inline[i] == want.get(i, (0, 0)), i
+
+
 def test_shingles_match_hof_spec(spark):
     """The production codegen-regex shingle pass must emit the same
     (doc_id, sh) set as the sequence+transform spec — including tokens
