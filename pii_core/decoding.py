@@ -88,23 +88,139 @@ def _validated_emissions(
     return em
 
 
+# Minimum strictly-positive (max - runner-up) row gap for the tie-aware
+# shortcut. Its exactness proof compares float64 path scores that differ, in
+# exact arithmetic, by at least one row's positive gap; float64 rounding can
+# erode that difference by at most ~T·ulp(|score|) ≈ 1e5·1e-10 = 1e-5 for
+# T ≤ 1e5 at these magnitudes, so a 1e-4 floor keeps every "strictly less"
+# in the proof strict under the DP's actual float64 arithmetic. Rows whose
+# runner-up gap is BELOW the floor route to the full DP (same answer,
+# slower) — the guard never changes results, only which code path runs.
+_TIE_MARGIN = 1e-4
+
+
 def _argmax_shortcut(em: np.ndarray, labels: list[str]) -> list[int] | None:
     """If every row's max is strictly unique and the argmax path is
     BIO-legal (including the start constraint), that path attains the
     unconstrained score bound and is therefore the UNIQUE Viterbi optimum —
-    provably identical to the DP, at O(T·C) vectorized cost. Returns None
-    otherwise (ties or illegal transitions)."""
+    provably identical to the DP, at O(T·C) vectorized cost. Rows with TIED
+    maxima route to ``_tie_aware_path``, which resolves the ties exactly
+    (same path the DP would return) when the bound is attainable. Returns
+    None when the full DP is required (bound unattainable, or runner-up
+    gaps too small for the float-margin proof)."""
     c = em.shape[1]
     if c < 2:
         return None
     am = em.argmax(axis=1)
     top2 = np.partition(em, c - 2, axis=1)[:, c - 2:]
-    if not bool((top2[:, 1] > top2[:, 0]).all()):
+    gap = top2[:, 1] - top2[:, 0]
+    legal, start_ok = _bio_legal(tuple(labels))
+    if bool((gap > 0).all()):
+        if start_ok[am[0]] and bool(legal[am[:-1], am[1:]].all()):
+            return am.tolist()
+        return None
+    return _tie_aware_path(em, am, top2[:, 1], gap, labels)
+
+
+def _tie_aware_path(
+    em: np.ndarray,
+    am: np.ndarray,
+    rowmax: np.ndarray,
+    gap: np.ndarray,
+    labels: list[str],
+) -> list[int] | None:
+    """Exact DP path for matrices where some rows tie at the max.
+
+    Every path that attains the per-row-max score bound must pick a
+    max-attaining label in EVERY row (prefix/suffix decomposition: total =
+    bound forces prefix = prefix-bound at each step), and every
+    non-bound-attaining path scores strictly lower (by at least the minimum
+    positive runner-up gap — the float64 margin guard ``_TIE_MARGIN`` keeps
+    this strict under the DP's arithmetic). So when a bound-attaining
+    BIO-legal path exists, the DP's score vector at step ti equals the
+    prefix bound exactly on the "attaining" label set A(ti) — computable by
+    a forward reachability pass over the (tiny) per-row tied candidate sets
+    — and the DP's OWN tie-breaks are pure functions of those sets:
+
+    * ``path[t-1] = score.index(max)``       -> min A(t-1)
+    * free-column backpointer ``g``          -> min A(ti-1)
+    * I-column ``pi > pb`` strict preference -> pi iff pi attains and pb
+      does not (equal scores keep the B predecessor)
+
+    Rows with a unique max have A = {argmax}; transitions between two such
+    rows reduce to the pairwise legality check, so the set logic only runs
+    around tied rows (typically a handful per document). Returns None —
+    full DP — when no attaining set survives (bound unattainable) or the
+    margin guard fails; the DP then produces the identical answer the slow
+    way. Differential tests pin this against brute-force enumeration on
+    tie-heavy matrices, ties included."""
+    t = em.shape[0]
+    tied = gap <= 0
+    pos = gap[~tied]
+    if pos.size and float(pos.min()) < _TIE_MARGIN:
         return None
     legal, start_ok = _bio_legal(tuple(labels))
-    if start_ok[am[0]] and bool(legal[am[:-1], am[1:]].all()):
-        return am.tolist()
-    return None
+    untied = ~tied
+    # argmax-path legality wherever BOTH endpoints are untied (singleton
+    # attain sets); a failure there means the bound is unattainable
+    ok_pair = legal[am[:-1], am[1:]]
+    if bool((untied[:-1] & untied[1:] & ~ok_pair).any()):
+        return None
+    if untied[0] and not start_ok[am[0]]:
+        return None
+    start_np, _free_cols, i_cols, i_prev = _bio_structure(tuple(labels))
+    del start_np
+    ipred = {int(ci): (int(pb), int(pi))
+             for ci, (pb, pi) in zip(i_cols, i_prev)}
+    tie_idx = np.flatnonzero(tied)
+    attain: dict[int, np.ndarray] = {}
+    bi = 0
+    n_ties = len(tie_idx)
+    while bi < n_ties:
+        b0 = bj = int(tie_idx[bi])
+        while bi + 1 < n_ties and int(tie_idx[bi + 1]) == bj + 1:
+            bi += 1
+            bj = int(tie_idx[bi])
+        for ti in range(b0, bj + 1):
+            cand = np.flatnonzero(em[ti] == rowmax[ti])
+            if ti == 0:
+                s_set = cand[start_ok[cand]]
+            else:
+                prev = attain.get(ti - 1)
+                if prev is None:
+                    prev = am[ti - 1:ti]  # untied predecessor: singleton
+                s_set = cand[legal[np.ix_(prev, cand)].any(axis=0)]
+            if s_set.size == 0:
+                return None  # bound unattainable: full DP decides
+            attain[ti] = s_set
+        if bj + 1 < t and not bool(legal[attain[bj], am[bj + 1]].any()):
+            return None  # untied follower unreachable from the tied block
+        bi += 1
+    # Backtrack: untied rows keep the argmax; tied rows resolve descending
+    # with the DP's exact tie-break rules (nxt is already resolved because
+    # higher rows were processed first — dict keys ascend, so iterate
+    # reversed).
+    path = am.copy()
+    for ti in sorted(attain, reverse=True):
+        a_set = attain[ti]
+        if ti == t - 1:
+            path[ti] = int(a_set[0])  # first index of the max final score
+            continue
+        pr = ipred.get(int(path[ti + 1]))
+        if pr is None:
+            # free column: bk = g = first index attaining gbest at ti.
+            # (Malformed columns also lack an ipred entry, but they can
+            # never be attaining, so path[ti+1] is never malformed here.)
+            path[ti] = int(a_set[0])
+        else:
+            pb, pi = pr
+            pi_in = bool((a_set == pi).any())
+            pb_in = bool((a_set == pb).any())
+            if not (pi_in or pb_in):
+                return None  # defensive: contradicts forward pass
+            # strict ``pi > pb``: equal (both attaining) keeps the B pred
+            path[ti] = pi if (pi_in and not pb_in) else pb
+    return path.tolist()
 
 
 def viterbi_bio(

@@ -164,3 +164,106 @@ def test_empty_and_shape_errors():
         viterbi_bio(np.zeros((3, 4), np.float32), LABELS5, 0)
     with pytest.raises(ValueError):
         viterbi_bio(np.zeros((3, 5), np.float32), LABELS5, 9)
+
+
+def _pure_dp(em, labels, o_id=0):
+    """viterbi_bio with the argmax/tie shortcut disabled — the raw DP."""
+    import pii_core.decoding as dec
+
+    orig = dec._argmax_shortcut
+    dec._argmax_shortcut = lambda *a: None
+    try:
+        return viterbi_bio(em, labels, o_id)
+    finally:
+        dec._argmax_shortcut = orig
+
+
+def _path_score(em, labels, path):
+    trans = bio_transitions(labels)
+    s = float(em[0, path[0]]) + (
+        float(NEG) if split_label(labels[path[0]])[0] == "I" else 0.0)
+    for i in range(1, len(path)):
+        s += float(trans[path[i - 1], path[i]]) + float(em[i, path[i]])
+    return s
+
+
+@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("t", [1, 2, 3, 5, 6])
+def test_tie_aware_shortcut_matches_dp(seed, t):
+    # Quantized emissions force frequent exact ties at the row max. The
+    # frozen contract is the DP's OWN tie-break (first-index max, strict
+    # pi > pb): the shortcut must return the byte-identical DP path, and
+    # that path must score exactly like the brute-force optimum (under
+    # ties, brute force may pick a DIFFERENT equal-scoring path — path
+    # equality with brute force is deliberately not asserted).
+    rng = np.random.RandomState(100 + seed)
+    em = (np.round(rng.randn(t, len(LABELS5)) * 2) / 2).astype(np.float32)
+    got = viterbi_bio(em, LABELS5, o_id=0)
+    assert got == _pure_dp(em, LABELS5)
+    bf = brute_force(em, LABELS5)
+    assert _path_score(em, LABELS5, got) == _path_score(em, LABELS5, bf)
+
+
+def test_tie_aware_shortcut_crafted_cases():
+    O, BA, IA, BB, IB = range(5)
+    # tie at row 0 between O and B-A: DP start tie-break -> first index (O)
+    em = np.zeros((3, 5), np.float32)
+    em[0, [O, BA]] = 5.0
+    em[1, BA] = 5.0
+    em[2, IA] = 5.0
+    assert viterbi_bio(em, LABELS5, 0) == _pure_dp(em, LABELS5) == [O, BA, IA]
+    # tie at the LAST row -> min attaining final index
+    em = np.zeros((2, 5), np.float32)
+    em[0, BA] = 5.0
+    em[1, [IA, IB]] = 5.0  # I-B illegal after B-A: only I-A attains
+    assert viterbi_bio(em, LABELS5, 0) == _pure_dp(em, LABELS5) == [BA, IA]
+    # I-column pb/pi preference: tie between B-A and I-A before an I-A row
+    em = np.zeros((3, 5), np.float32)
+    em[0, BA] = 5.0
+    em[1, [BA, IA]] = 5.0  # both attain -> equal scores -> keep B pred? no:
+    em[2, IA] = 5.0        # row2 I-A: preds (B-A, I-A) both attaining -> pb
+    got = viterbi_bio(em, LABELS5, 0)
+    assert got == _pure_dp(em, LABELS5)
+    # consecutive tied rows
+    em = np.zeros((4, 5), np.float32)
+    em[0, O] = 5.0
+    em[1, [BA, BB]] = 5.0
+    em[2, [IA, IB]] = 5.0
+    em[3, O] = 5.0
+    assert viterbi_bio(em, LABELS5, 0) == _pure_dp(em, LABELS5)
+    # tie whose candidates are all start-illegal at row 0 -> DP fallback path
+    em = np.zeros((2, 5), np.float32)
+    em[0, [IA, IB]] = 5.0
+    em[1, O] = 5.0
+    assert viterbi_bio(em, LABELS5, 0) == brute_force(em, LABELS5)
+
+
+def test_tie_aware_margin_guard_routes_to_dp():
+    import pii_core.decoding as dec
+
+    # one tied row plus an untied row whose runner-up gap is below the
+    # margin: the shortcut must decline (None) and the DP answer stands
+    em = np.zeros((3, 5), np.float32)
+    em[0, 0] = 5.0
+    em[1, [1, 3]] = 5.0                  # tie
+    em[2, 0] = 5.0
+    em[2, 1] = 5.0 - 1e-5                # sub-margin runner-up gap
+    am = em.argmax(axis=1)
+    top2 = np.partition(em, 3, axis=1)[:, 3:]
+    gap = top2[:, 1] - top2[:, 0]
+    assert dec._tie_aware_path(em, am, top2[:, 1], gap, LABELS5) is None
+    assert viterbi_bio(em, LABELS5, 0) == brute_force(em, LABELS5)
+
+
+def test_tie_aware_batch_matches_singles_on_tie_heavy_corpus():
+    from pii_core.decoding import viterbi_bio_batch
+
+    rng = np.random.RandomState(42)
+    ems = []
+    for _ in range(60):
+        t = int(rng.randint(1, 40))
+        em = (np.round(rng.randn(t, len(LABELS5)) * 2) / 2).astype(np.float32)
+        ems.append(em)
+    want = [_pure_dp(e, LABELS5) for e in ems]
+    assert viterbi_bio_batch(ems, LABELS5, 0) == want
+    assert [viterbi_bio(e, LABELS5, 0) for e in ems] == want
