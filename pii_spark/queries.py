@@ -41,9 +41,66 @@ def register(name: str, oracle: str | None = None):
 from pii_spark.util import checksum_udf, read_table as _t  # noqa: E402
 
 
+def _with_cpf_candidate(d: DataFrame, expr: str = "doc_id") -> DataFrame:
+    """``d`` plus a ``cand`` column holding ``sf.cpf_candidate_sql(expr)``'s
+    value, built through CHAINED projections (base9 string → nine digit
+    ints → check digits → candidate) instead of the inlined sqlfrag tree.
+    The shared SQL fragment (kept verbatim for the DuckDB oracle side)
+    expands every digit reference into its own lpad(cast(..)) subtree —
+    ~100 repeats after the candidate's CASE nesting — and Catalyst's
+    subexpression elimination does not fold them, so the flattened tree
+    dominated the detector-family scans (measured ~2x the staged form at
+    sf1.0). Staging evaluates base9 once and each digit once per row;
+    values are byte-identical (every oracle-checked query embedding the
+    candidate pins it)."""
+    d = d.withColumn(
+        "__b9",
+        F.expr(f"lpad(CAST(({expr} * 7919) % 1000000000 AS STRING), 9, '0')"))
+    d = d.select(
+        "*", *[F.expr(f"CAST(substr(__b9, {i + 1}, 1) AS INT)")
+               .alias(f"__d{i + 1}") for i in range(9)])
+    s1 = " + ".join(f"__d{i + 1} * {10 - i}" for i in range(9))
+    d = d.withColumn("__c1", F.expr(
+        f"CASE WHEN (({s1}) * 10) % 11 = 10 THEN 0 "
+        f"ELSE (({s1}) * 10) % 11 END"))
+    s2 = " + ".join(f"__d{i + 1} * {11 - i}" for i in range(9)) + " + __c1 * 2"
+    d = d.withColumn("__c2", F.expr(
+        f"CASE WHEN (({s2}) * 10) % 11 = 10 THEN 0 "
+        f"ELSE (({s2}) * 10) % 11 END"))
+    d = d.withColumn("__v", F.expr(
+        "__b9 || CAST(__c1 AS STRING) || CAST(__c2 AS STRING)"))
+    d = d.withColumn("cand", F.expr(
+        f"CASE WHEN {expr} % 3 = 0 THEN substr(__v, 1, 10) || "
+        "CAST((CAST(substr(__v, 11, 1) AS INT) + 5) % 10 AS STRING) "
+        "ELSE __v END"))
+    return d.drop("__b9", "__c1", "__c2", "__v",
+                  *[f"__d{i + 1}" for i in range(9)])
+
+
+def _with_aug(d: DataFrame) -> DataFrame:
+    """``d`` plus ``aug`` and ``cand``: the same augmented text
+    ``sf.aug_text_sql()`` defines, with the embedded CPF candidate built
+    once via ``_with_cpf_candidate`` and spliced in (the email/phone/CEP
+    pieces are small and stay inline)."""
+    email = ("' Contato: user' || CAST(doc_id AS STRING) || '@ex' || "
+             "CAST(doc_id % 7 AS STRING) || '.com.br'")
+    phone = ("(CASE WHEN doc_id % 2 = 0 THEN ' tel (1' || "
+             "CAST(doc_id % 9 AS STRING) || ') 9' || "
+             "lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || '-' || "
+             "lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0') "
+             "ELSE '' END)")
+    cep = ("(CASE WHEN doc_id % 3 = 0 THEN ' CEP ' || "
+           "lpad(CAST((doc_id * 13) % 90000 + 10000 AS STRING), 5, '0') "
+           "|| '-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') "
+           "ELSE '' END)")
+    return _with_cpf_candidate(d).withColumn("aug", F.expr(
+        f"(text || {email} || {phone} || {cep} || ' CPF ' || cand "
+        "|| ' fim.')"))
+
+
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").withColumn(
-        "aug", F.expr(sf.aug_text_sql()))
+    d = _t(spark, sf_dir, "documents")
+    return _with_aug(d).select(*d.columns, "aug")
 
 
 _AUG_FROM = f"(SELECT *, {sf.aug_text_sql()} AS aug FROM documents) d"
@@ -180,14 +237,12 @@ def should_be_public(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ok = checksum_udf(cpf_checksum_ok_batch)
 
-    d = _t(spark, sf_dir, "documents").select(
-        "lang",
-        F.expr(sf.aug_text_sql()).alias("aug"),
-        F.expr(sf.cpf_candidate_sql()).alias("cand"),
-    )
-    has_pii = ok("cand") | (
-        F.size(F.regexp_extract_all(F.col("aug"), F.lit(sf.PHONE_PAT), F.lit(0))) > 0
-    )
+    # staged aug/cand (one digit-column build feeds both — see
+    # _with_cpf_candidate); the phone test is rlike (first-match
+    # early-exit), not a full-match materialization, same boolean
+    d = _with_aug(_t(spark, sf_dir, "documents")).select(
+        "lang", "aug", "cand")
+    has_pii = ok("cand") | F.col("aug").rlike(sf.PHONE_PAT)
     return (
         d.withColumn("has_pii", has_pii)
         .groupBy("lang")
@@ -668,20 +723,27 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-to-dim joins with explicit broadcast of the small sides (customer,
-    nation) — no shuffle for the joins, one shuffle for the groupBy, one for
-    the per-nation rank window."""
+    """Aggregate the fact table FIRST (one hash agg keyed by the bare
+    custkey long — map-side partials, the shuffle carries (custkey, cents)
+    only), then broadcast-join the dims onto the aggregated rows and rank.
+    The former join-then-group shape dragged c_name/n_name strings through
+    the revenue aggregation's hash keys and exchange for every order row —
+    measured 2x slower at sf1.0. Identical result: c_custkey is the
+    customer table's key, so grouping by it before or after attaching the
+    (functionally dependent) name columns produces the same groups, and
+    orders without a matching customer drop at the inner join either way."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("revenue_c"))
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-             .alias("revenue_c"))
+        .select("c_custkey", "c_name", "n_name", "revenue_c")
     )
     w = Window.partitionBy("n_name").orderBy(
         F.col("revenue_c").desc(), F.col("c_custkey"))
