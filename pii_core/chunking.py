@@ -25,10 +25,22 @@ Chunking is doc-local: in the Spark engine it runs inside one Arrow batch of
 
 from __future__ import annotations
 
-from bisect import bisect_left
 from typing import NamedTuple
 
+import numpy as np
+
 from pii_core.tokenizer import WordTokenizer
+
+
+def _encode_arr(tokenizer, text: str) -> np.ndarray:
+    """Tokenizer offsets as an (N,2) int64 array: the tokenizer's own
+    ``encode_arr`` when it provides one (WordTokenizer's vectorized scan,
+    or its subclass-override guard), else the duck-typed ``encode`` list
+    converted — adapters and test fakes keep their exact semantics."""
+    fn = getattr(tokenizer, "encode_arr", None)
+    if fn is not None:
+        return fn(text)
+    return np.asarray(tokenizer.encode(text), dtype=np.int64).reshape(-1, 2)
 
 # NB: "\n" is unreachable — _trailing_nonspace skips ALL whitespace, so a
 # newline can never be the returned char. The reference has the identical
@@ -91,7 +103,7 @@ def _trailing_nonspace(text: str, end: int) -> str | None:
 
 def _score_end_candidates(
     text: str,
-    offsets: list[tuple[int, int]],
+    offsets: np.ndarray,
     tentative_end: int,
     hard_min_end: int,
     backoff: int,
@@ -110,7 +122,7 @@ def _score_end_candidates(
         cand = tentative_end - d
         if cand <= hard_min_end:
             break
-        cut = offsets[cand - 1][1]
+        cut = int(offsets[cand - 1, 1])
         if not _boundary_at(text, cut):
             continue
         last = _trailing_nonspace(text, cut)
@@ -160,10 +172,11 @@ def build_chunks_with_offsets(
     stride: int = 64,
     boundary_backoff: int = 32,
     hard_split: bool = False,
-) -> list[tuple[Chunk, list[tuple[int, int]]]]:
-    """``build_chunks`` plus each chunk's LOCAL token offsets — exactly what
-    ``tokenizer.encode(chunk.text)`` returns (the differential suite pins
-    the equality), without re-tokenizing every chunk.
+) -> list[tuple[Chunk, np.ndarray]]:
+    """``build_chunks`` plus each chunk's LOCAL token offsets as (N,2)
+    int64 arrays — exactly the values ``tokenizer.encode(chunk.text)``
+    returns (the differential suite pins the equality), without
+    re-tokenizing every chunk.
 
     When the tokenizer declares ``slice_stable`` (see
     ``tokenizer.WordTokenizer``), the chunker's single document-level token
@@ -176,14 +189,14 @@ def build_chunks_with_offsets(
     chunks, ranges, offsets = _build_chunks(
         text, tokenizer, max_length=max_length, stride=stride,
         boundary_backoff=boundary_backoff, hard_split=hard_split)
-    out: list[tuple[Chunk, list[tuple[int, int]]]] = []
+    out: list[tuple[Chunk, np.ndarray]] = []
     for ch, rng in zip(chunks, ranges):
         if rng is None:
-            out.append((ch, tokenizer.encode(ch.text)))
+            out.append((ch, _encode_arr(tokenizer, ch.text)))
         else:
             lo, hi = rng
-            a = ch.char_start
-            out.append((ch, [(s - a, e - a) for s, e in offsets[lo:hi]]))
+            # vectorized shift of the document-scan slice (int64 view math)
+            out.append((ch, offsets[lo:hi] - np.int64(ch.char_start)))
     return out
 
 
@@ -201,7 +214,7 @@ def _build_chunks(
     tokens fall strictly inside chunk i's char range — computed only for
     ``slice_stable`` tokenizers (else None per chunk)."""
     if not isinstance(text, str) or not text:
-        return [Chunk("", 0, 0, 0)], [(0, 0)], []
+        return [Chunk("", 0, 0, 0)], [(0, 0)], np.empty((0, 2), np.int64)
     if max_length <= 8:
         raise ChunkingConfigError(f"max_length too small: {max_length}")
     budget = int(max_length) - tokenizer.num_special_tokens
@@ -213,7 +226,7 @@ def _build_chunks(
             f"stride must satisfy 0 <= stride < {budget}; got {stride}")
     step = budget - stride
 
-    offsets = tokenizer.encode(text)
+    offsets = _encode_arr(tokenizer, text)
     n = len(offsets)
     if n == 0 or n <= budget:
         # Whole text fits one window: skip boundary heuristics entirely
@@ -222,16 +235,13 @@ def _build_chunks(
         return [Chunk(text, 0, len(text), 0)], [(0, n)], offsets
 
     stable = bool(getattr(tokenizer, "slice_stable", False))
-    starts: list[int] | None = None
+    starts = offsets[:, 0]
 
     def _lo(a: int) -> int:
         """Index of the first token with char start >= ``a`` (chunk char
         starts never fall inside a token, so this is the chunk's first
         token)."""
-        nonlocal starts
-        if starts is None:
-            starts = [o[0] for o in offsets]
-        return bisect_left(starts, a)
+        return int(np.searchsorted(starts, a, side="left"))
 
     def _enc_len(a: int, b: int, e: int) -> int:
         """``encoded_len_with_specials(text[a:b])`` — by arithmetic over the
@@ -266,21 +276,21 @@ def _build_chunks(
                 f"end_tok={end_tok} < hard_min_end={hard_min_end} at start_tok={start_tok}"
             )
 
-        raw_start = offsets[start_tok][0]
-        if offsets[end_tok - 1][1] <= raw_start:
+        raw_start = int(offsets[start_tok, 0])
+        if int(offsets[end_tok - 1, 1]) <= raw_start:
             raise RuntimeError(f"empty char span at start_tok={start_tok}")
 
-        char_start = _word_start_before(text, raw_start)
+        char_start = int(_word_start_before(text, raw_start))
 
         # Back off tokens while the char end would cut mid-word
         # (continuation subword pieces — reference chunking.py:245-251).
-        while end_tok > hard_min_end and not _boundary_at(text, offsets[end_tok - 1][1]):
+        while end_tok > hard_min_end and not _boundary_at(text, int(offsets[end_tok - 1, 1])):
             end_tok -= 1
 
         def _char_end_for(e: int) -> int:
-            ce = offsets[e - 1][1]
-            nxt = offsets[e][0] if e < n else len(text)
-            return _extend_over_separators(text, ce, nxt)
+            ce = int(offsets[e - 1, 1])
+            nxt = int(offsets[e, 0]) if e < n else len(text)
+            return int(_extend_over_separators(text, ce, nxt))
 
         char_end = _char_end_for(end_tok)
         if char_end <= char_start:
@@ -301,12 +311,12 @@ def _build_chunks(
                 # from the end until the slice re-tokenizes within budget.
                 char_start = raw_start
                 end_tok = min(start_tok + budget, n)
-                char_end = offsets[end_tok - 1][1]
+                char_end = int(offsets[end_tok - 1, 1])
                 while (end_tok > start_tok + 1
                        and _enc_len(char_start, char_end, end_tok)
                        > max_length):
                     end_tok -= 1
-                    char_end = offsets[end_tok - 1][1]
+                    char_end = int(offsets[end_tok - 1, 1])
                 if _enc_len(char_start, char_end, end_tok) > max_length:
                     raise RuntimeError(
                         f"single token exceeds max_length={max_length} "
@@ -324,7 +334,7 @@ def _build_chunks(
                             # one more window covers the tail — never leave
                             # chunks[-1].char_end short of len(text)
                             end_tok -= 1
-                            char_end = offsets[end_tok - 1][1]
+                            char_end = int(offsets[end_tok - 1, 1])
                         else:
                             raise RuntimeError(
                                 f"cannot cover text tail within "
@@ -341,7 +351,7 @@ def _build_chunks(
                     # extension re-tokenizes over budget (byte-level
                     # whitespace costs) rather than leaving a gap.
                     ext = _extend_over_separators(
-                        text, char_end, offsets[end_tok][0])
+                        text, char_end, int(offsets[end_tok, 0]))
                     if ext > char_end:
                         if _enc_len(char_start, ext, end_tok) > max_length:
                             raise RuntimeError(

@@ -95,11 +95,18 @@ def stub_emissions(chunk_text: str, offsets: list[tuple[int, int]]) -> np.ndarra
         # token offsets are sorted, so the tokens overlapping [s, e) form a
         # contiguous index range — bisect it instead of scanning all T
         # (identical result: same overlap predicate over the same tokens).
-        starts = [a for a, _ in offsets]
-        ends = [b for _, b in offsets]
+        if isinstance(offsets, np.ndarray):
+            starts, ends = offsets[:, 0], offsets[:, 1]
+            find_lo = lambda v: int(np.searchsorted(ends, v, side="right"))
+            find_hi = lambda v: int(np.searchsorted(starts, v, side="left"))
+        else:
+            starts = [a for a, _ in offsets]
+            ends = [b for _, b in offsets]
+            find_lo = lambda v: bisect_right(ends, v)
+            find_hi = lambda v: bisect_left(starts, v)
         for s, e, typ in hits:
-            lo = bisect_right(ends, s)   # first token with b > s
-            hi = bisect_left(starts, e)  # first token with a >= e
+            lo = find_lo(s)  # first token with b > s
+            hi = find_hi(e)  # first token with a >= e
             first = True
             for ti in range(lo, hi):
                 a, b = offsets[ti]

@@ -189,12 +189,12 @@ def _chunk_emissions(pairs, emitter: Emitter, batch_size: int):
     emit_batch = getattr(emitter, "emit_batch", None)
     if emit_batch is None:
         for ch, offs in pairs:
-            if offs:
+            if len(offs):
                 yield ch, offs, emitter(ch.text, offs)
         return
     step = max(1, int(batch_size))
     for i in range(0, len(pairs), step):
-        keep = [(ch, offs) for ch, offs in pairs[i:i + step] if offs]
+        keep = [(ch, offs) for ch, offs in pairs[i:i + step] if len(offs)]
         if not keep:
             continue
         ems = list(emit_batch([ch.text for ch, _ in keep],
@@ -278,6 +278,12 @@ def _mean_logit_matrix(items, n_chunks: int, trusted_offsets: bool = False):
         # sorted order — narrowing the condition removed that corner.
         if trusted_offsets:
             ok = True
+        elif isinstance(offs, np.ndarray):
+            # vectorized twin of the tuple-list loop below: non-empty
+            # tokens (a < b) with strictly increasing starts
+            ok = bool((offs[:, 0] < offs[:, 1]).all()) and (
+                offs.shape[0] < 2
+                or bool((np.diff(offs[:, 0]) > 0).all()))
         else:
             pa = -1
             ok = True
@@ -286,59 +292,80 @@ def _mean_logit_matrix(items, n_chunks: int, trusted_offsets: bool = False):
                     ok = False
                     break
                 pa = a
-        if ok and offs:
+        if ok and len(offs):
             cs = ch.char_start
-            keys = (offs if cs == 0
-                    else [(a + cs, b + cs) for a, b in offs])
+            if isinstance(offs, np.ndarray):
+                keys = offs if cs == 0 else offs + np.int64(cs)
+            else:
+                keys = (offs if cs == 0
+                        else [(a + cs, b + cs) for a, b in offs])
             return keys, np.asarray(em, dtype=np.float32)
 
     # Accumulate per-token logits keyed by GLOBAL (start,end) char offsets
     # so overlapping chunks average out (reference infer_pii.py:209-235).
-    # Dense vectorized form of the reference's dict accumulation (the
-    # eval-path idiom, infer_pii.py:853-894): assign each key a row in a
-    # (K,C) fp32 array and add whole chunks with one fancy-index += —
-    # per-token ndarray allocation was the multi-chunk hot spot. fp32
-    # accumulation order per key is unchanged (chunks processed in chunk
-    # order; a key appears at most once per chunk, and if an emitter
+    # Fully vectorized form of the reference's dict accumulation (the
+    # eval-path idiom, infer_pii.py:853-894): each chunk's offsets become
+    # one (N,2) int64 array, global keys pack into a single int64
+    # (start << 32 | end — lexicographic order preserved, so np.unique's
+    # sorted output IS the dict form's sorted(key_index)), np.unique's
+    # inverse indices replace the per-token setdefault loop (the
+    # multi-chunk hot spot), and whole chunks add with one fancy-index +=.
+    # fp32 accumulation order per key is unchanged (chunks processed in
+    # chunk order; a key appears at most once per chunk, and if an emitter
     # ever repeats offsets within a chunk, np.add.at preserves the
     # token-order adds the dict form would have done).
     got = [(ch, offs, np.asarray(em, dtype=np.float32))
            for ch, offs, em in items]
-    key_index: dict[tuple[int, int], int] = {}
-    plans = []  # (token_rows, key_rows) per chunk
-    for ch, offs, _em in got:
-        rows, idxs = [], []
-        add = rows.append
-        for ti, (a, b) in enumerate(offs):
-            ga = a + ch.char_start
-            gb = b + ch.char_start
-            if ga >= gb:
-                continue
-            idxs.append(key_index.setdefault((ga, gb), len(key_index)))
-            add(ti)
-        plans.append((rows, idxs))
-    k = len(key_index)
-    if not k:
+    if not got:
         return None
+    enc_parts: list[np.ndarray] = []
+    sels: list[np.ndarray] = []
+    for ch, offs, em in got:
+        o = np.asarray(offs, dtype=np.int64).reshape(-1, 2)
+        if o.shape[0] != em.shape[0]:
+            raise ValueError(
+                f"chunk offsets/emissions mismatch: {o.shape[0]} vs "
+                f"{em.shape[0]}")
+        g = o + np.int64(ch.char_start)
+        keep = g[:, 0] < g[:, 1]
+        if not keep.all():
+            g = g[keep]
+            em = em[keep]
+        if g.size and int(g[:, 1].max()) >= (1 << 31):
+            # packing headroom: a >2^31-char document cannot reach here
+            # anyway (its (T,C) emission matrix would not fit in memory),
+            # but never pack silently-wrong keys — the raise quarantines
+            # the page fail-closed like any other per-page failure
+            raise ValueError(
+                f"char offset {int(g[:, 1].max())} exceeds the 2^31 "
+                "key-packing bound")
+        enc_parts.append((g[:, 0] << np.int64(32)) | g[:, 1])
+        sels.append(em)
+    all_enc = np.concatenate(enc_parts)
+    if all_enc.size == 0:
+        return None
+    uniq, inv = np.unique(all_enc, return_inverse=True)
+    k = uniq.size
     n_classes = got[0][2].shape[1]
     acc = np.zeros((k, n_classes), dtype=np.float32)
     cnt = np.zeros(k, dtype=np.float32)
-    for (_ch, _offs, em), (rows, idxs) in zip(got, plans):
-        ia = np.asarray(idxs, dtype=np.intp)
-        sel = em if len(rows) == em.shape[0] else em[rows]
+    pos = 0
+    for sel in sels:
+        n = sel.shape[0]
+        ia = inv[pos:pos + n]
+        pos += n
         if ia.size == np.unique(ia).size:
             acc[ia] += sel
             cnt[ia] += 1.0
         else:  # repeated key within one chunk: unbuffered ordered adds
             np.add.at(acc, ia, sel)
             np.add.at(cnt, ia, 1.0)
-    keys = sorted(key_index)
-    order = np.fromiter((key_index[kk] for kk in keys), dtype=np.intp,
-                        count=k)
+    keys = np.stack((uniq >> np.int64(32), uniq & np.int64(0xFFFFFFFF)),
+                    axis=1)
     # one vectorized fp32 divide — elementwise-identical to dividing each
-    # row by its count (same operands, same IEEE op)
-    em_global = (acc[order] / cnt[order][:, None]).astype(
-        np.float32, copy=False)
+    # row by its count (same operands, same IEEE op); rows are already in
+    # sorted-key order because np.unique sorts the packed keys
+    em_global = (acc / cnt[:, None]).astype(np.float32, copy=False)
     return keys, em_global
 
 
@@ -755,7 +782,8 @@ def extract_page_batch(
                     hard_split=cfg.hard_split,
                 )
                 d[2] = len(pairs)
-                with_offs = [(ch, offs) for ch, offs in pairs if offs]
+                with_offs = [(ch, offs) for ch, offs in pairs
+                             if len(offs)]
                 d[4] = len(with_offs)
                 buf.extend((d, ch, offs) for ch, offs in with_offs)
         except ChunkingConfigError:

@@ -20,6 +20,32 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+
+# Codepoint classification tables for the vectorized scan (``encode_arr``):
+# built LAZILY from the very regex character classes they replace — one
+# single-char regex match per BMP codepoint, so the tables cannot drift from
+# the pattern semantics. ~64 KB each, built once per process.
+_TABLE_N = 0x10000
+_WORD_TABLE: np.ndarray | None = None
+_SPACE_TABLE: np.ndarray | None = None
+
+
+def _class_tables() -> tuple[np.ndarray, np.ndarray]:
+    global _WORD_TABLE, _SPACE_TABLE
+    if _WORD_TABLE is None:
+        wrx = re.compile(r"[\w'’\-]", re.UNICODE)
+        srx = re.compile(r"\s", re.UNICODE)
+        chars = "".join(map(chr, range(_TABLE_N)))
+        w = np.zeros(_TABLE_N, dtype=bool)
+        s = np.zeros(_TABLE_N, dtype=bool)
+        for m in wrx.finditer(chars):
+            w[m.start()] = True
+        for m in srx.finditer(chars):
+            s[m.start()] = True
+        _WORD_TABLE, _SPACE_TABLE = w, s
+    return _WORD_TABLE, _SPACE_TABLE
+
 # word chars mirror the chunker's notion: alnum + apostrophe/hyphen/underscore
 # (reference chunking.py:19-21,35-36) so names like O'Neil or João-Paulo stay whole.
 _TOKEN_RE = re.compile(r"[\w'’\-]+|[^\s\w'’\-]", re.UNICODE)
@@ -74,6 +100,60 @@ class WordTokenizer:
     def encode(self, text: str) -> list[tuple[int, int]]:
         """Token char offsets (start inclusive, end exclusive), no specials."""
         return [m.span() for m in self._piece_re.finditer(text)]
+
+    def encode_arr(self, text: str) -> np.ndarray:
+        """``encode`` as an (N,2) int64 ndarray — the extraction hot path's
+        form (chunker slices are views, downstream aggregation consumes the
+        array without per-token Python). For THIS class the scan is pure
+        NumPy over a codepoint table built from the same regex classes:
+        word-char runs split greedily into ``piece_len`` pieces, non-space
+        non-word chars emit single-char tokens, identical to the regex
+        ``[\\w'’\\-]{1,piece_len}|[^\\s\\w'’\\-]`` by construction (the
+        differential test pins byte equality over unicode corpora).
+        Subclasses that override ``encode`` (adapters, test fakes) are
+        routed through THEIR ``encode`` — the array form must never
+        silently disagree with the list form."""
+        if type(self).encode is not WordTokenizer.encode:
+            return np.asarray(type(self).encode(self, text),
+                              dtype=np.int64).reshape(-1, 2)
+        if not text:
+            return np.empty((0, 2), dtype=np.int64)
+        try:
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        except UnicodeEncodeError:  # lone surrogates: regex path is exact
+            return np.asarray(self.encode(text),
+                              dtype=np.int64).reshape(-1, 2)
+        if int(cp.max()) >= _TABLE_N:
+            # astral codepoints: python str indexes them as ONE char but
+            # the table does not cover them — the regex path stays exact
+            return np.asarray(self.encode(text),
+                              dtype=np.int64).reshape(-1, 2)
+        word_t, space_t = _class_tables()
+        w = word_t[cp]
+        wi = np.flatnonzero(w)
+        if wi.size:
+            brk = np.flatnonzero(np.diff(wi) > 1)
+            run_s = np.concatenate((wi[:1], wi[brk + 1]))
+            run_e = np.concatenate((wi[brk], wi[-1:])) + 1
+            lens = run_e - run_s
+            pl = self.piece_len
+            n_p = (lens + (pl - 1)) // pl
+            csum = np.concatenate(([0], np.cumsum(n_p)[:-1]))
+            kk = np.arange(int(n_p.sum())) - np.repeat(csum, n_p)
+            ps = np.repeat(run_s, n_p) + kk * pl
+            pe = np.minimum(ps + pl, np.repeat(run_e, n_p))
+        else:
+            ps = pe = np.empty(0, dtype=np.int64)
+        oi = np.flatnonzero(~w & ~space_t[cp])
+        if not oi.size and not ps.size:
+            return np.empty((0, 2), dtype=np.int64)
+        starts = np.concatenate((ps, oi))
+        ends = np.concatenate((pe, oi + 1))
+        # word positions and other-char positions are disjoint, so starts
+        # are unique and a plain sort merges the two streams exactly
+        order = np.argsort(starts)
+        return np.stack((starts[order], ends[order]),
+                        axis=1).astype(np.int64, copy=False)
 
     def encoded_len_with_specials(self, text: str) -> int:
         """Token count including specials (mirrors ``_retokenized_length``,

@@ -282,10 +282,16 @@ def _assert_offsets_differential(text, tok=TOK, **kw):
     # re-tokenization) ...
     assert [c for c, _ in fast_pairs] == [c for c, _ in slow_pairs]
     assert [c for c, _ in fast_pairs] == build_chunks(text, tok, **kw)
-    # ... and identical per-chunk offsets (sliced doc scan vs re-encode)
+    # ... and identical per-chunk offsets (sliced doc scan vs re-encode).
+    # Offsets may arrive as (N,2) ndarrays or lists of tuples — the
+    # CONTRACT is the offset VALUES, normalized before comparing; the
+    # third assert additionally pins them against the list-form encode.
+    import numpy as _np
     for (ch, fast_offs), (_, slow_offs) in zip(fast_pairs, slow_pairs):
-        assert list(fast_offs) == list(slow_offs), ch
-        assert list(fast_offs) == tok.encode(ch.text), ch
+        fo = _np.asarray(fast_offs, dtype=_np.int64).reshape(-1, 2).tolist()
+        so = _np.asarray(slow_offs, dtype=_np.int64).reshape(-1, 2).tolist()
+        assert fo == so, ch
+        assert fo == [list(t) for t in tok.encode(ch.text)], ch
 
 
 @pytest.mark.parametrize("seed", range(8))

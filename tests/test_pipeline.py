@@ -468,5 +468,7 @@ def test_trusted_offsets_path_equivalent():
     items = [(ch, [(0, 0), (1, 3), (1, 3)], em)]
     kg = pl._mean_logit_matrix(items, 1, trusted_offsets=False)
     keys, m = kg
-    assert keys == [(1, 3)]
+    # keys may be a list of tuples or an (K,2) ndarray — the CONTRACT is
+    # the key values/order (spans_from_bio asarray-normalizes either form)
+    assert np.asarray(keys).tolist() == [[1, 3]]
     assert np.allclose(m, [[4.0, 5.0]])
