@@ -68,6 +68,21 @@ _L2I, _ = label_maps()
 _O_LOGIT = np.float32(4.0)
 _ENT_LOGIT = np.float32(8.0)
 
+# Cheap NECESSARY conditions per rule, keyed by rule index: every possible
+# match of that rule's regex contains (case-folded) one of the needles, so
+# a chunk without any needle can skip the full scan outright — a false
+# positive merely runs the regex it would have run anyway. Rules without a
+# sound cheap needle (names, plates) always scan.
+#   ENDERECO:       every match starts with a street keyword (IGNORECASE)
+#   DATA_NASC:      'nascid[oa] em' / 'data de nascimento' both contain
+#                   'nasci' after casefold
+#   ID_PROCESSUAL:  the pattern requires a literal '/'
+_RULE_NEEDLES: dict[int, tuple[str, ...]] = {
+    1: ("rua", "avenida", "av.", "quadra", "travessa", "alameda"),
+    2: ("nasci",),
+    3: ("/",),
+}
+
 
 def _tok_jitter(text: str, a: int, b: int) -> float:
     """Deterministic per-token logit jitter in [0, 0.5) from the token bytes —
@@ -83,7 +98,14 @@ def stub_emissions(chunk_text: str, offsets: list[tuple[int, int]]) -> np.ndarra
     em[:, _L2I["O"]] = _O_LOGIT
 
     hits: list[tuple[int, int, str]] = []
-    for rx, typ in _RULES:
+    low = None
+    for ri, (rx, typ) in enumerate(_RULES):
+        needles = _RULE_NEEDLES.get(ri)
+        if needles is not None:
+            if low is None:
+                low = chunk_text.lower()  # one C pass, shared across rules
+            if not any(n in low for n in needles):
+                continue  # no needle -> the regex provably cannot match
         for m in rx.finditer(chunk_text):
             g = 1 if m.groups() else 0
             s, e = m.span(g)
