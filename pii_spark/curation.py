@@ -54,7 +54,6 @@ from pyspark.sql import functions as F
 from pii_spark.ops.decontaminate import contamination
 from pii_spark.ops.dedup import (
     _jaccard_on_candidates,
-    _shingles,
     connected_components,
     line_dedup,
     normalized_fp,
@@ -250,10 +249,9 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
             # fully lazy.
             live2_p = live2.persist(StorageLevel.MEMORY_AND_DISK)
             transient.append(live2_p)
-            sh = _shingles(
-                live2_p.select(F.col(id_col).alias("doc_id"), "text"))
+            named = live2_p.select(F.col(id_col).alias("doc_id"), "text")
             pairs = (
-                _jaccard_on_candidates(sh)
+                _jaccard_on_candidates(named)
                 .where(F.col("jac") >= cfg.near_dup_jaccard_pm)
                 .select("id_a", "id_b")
                 .persist(StorageLevel.MEMORY_AND_DISK)

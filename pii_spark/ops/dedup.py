@@ -65,26 +65,47 @@ def _near_union_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(near)
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct 3-gram word shingles per doc, via ONE codegen
-    ``regexp_extract_all`` pass — space runs collapse to single spaces
-    (tokens are maximal non-space runs, so ``[^ ]`` in the pattern, NOT
-    ``\\S``: tabs/newlines stay INSIDE tokens, matching the frozen
-    split-on-' ' spec and ``_SHINGLES_SQL``), then a zero-width match at
-    every token start captures the next 3 tokens by lookahead.
+def _shingle_arrays(df: DataFrame) -> DataFrame:
+    """(doc_id, shs): each doc's DISTINCT 3-gram word shingles as an array,
+    via ONE codegen ``regexp_extract_all`` pass — space runs collapse to
+    single spaces (tokens are maximal non-space runs, so ``[^ ]`` in the
+    pattern, NOT ``\\S``: tabs/newlines stay INSIDE tokens, matching the
+    frozen split-on-' ' spec and ``_SHINGLES_SQL``), then a zero-width
+    match at every token start captures the next 3 tokens by lookahead.
 
     Replaces the sequence+transform HOF build (kept as ``_shingles_hof``,
     the differential-pinned executable spec): HOF lambdas evaluate
     interpreted per element, and the old body embedded the split()
     expression — re-tokenizing the doc at every shingle position, which
     made the LSH stage ~60 s per 4000 x 3.4k-token docs on 32 cores.
-    Docs with fewer than 3 tokens yield no shingles; NULL text none."""
+    Docs with fewer than 3 tokens yield an empty array; NULL text too."""
     norm = F.trim(F.regexp_replace(F.col("text"), " +", " "))
     sh = F.coalesce(
         F.regexp_extract_all(
             norm, F.lit(r"(?<![^ ])(?=(([^ ]+ ){2}[^ ]+))"), F.lit(1)),
         F.array().cast("array<string>"))
-    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    return df.select("doc_id", F.array_distinct(sh).alias("shs"))
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, sh): ``_shingle_arrays`` exploded — the pair-join form."""
+    return _shingle_arrays(df).select(
+        "doc_id", F.explode("shs").alias("sh"))
+
+
+def _shingles_with_card(df: DataFrame) -> DataFrame:
+    """(doc_id, n, sh): the exploded shingle frame with each doc's
+    distinct-shingle cardinality RIDING ALONG as a pre-explode
+    ``size(shs)`` column (VERDICT r5 #6). The Jaccard verify then reads
+    |A| and |B| from the joined rows themselves (``first(n)`` per pair)
+    instead of computing a separate per-doc count frame — which cost
+    either a groupBy over the exploded rows (old form) or, as a narrow
+    re-projection, an extra full gram pass per use (no Exchange to
+    reuse; measured a cureplane regression). One extra long per exploded
+    row is the entire cost."""
+    return _shingle_arrays(df).select(
+        "doc_id", F.size("shs").cast("long").alias("n"),
+        F.explode("shs").alias("sh"))
 
 
 def _shingles_hof(df: DataFrame) -> DataFrame:
@@ -213,28 +234,32 @@ def connected_components(
         "silently wrong if returned)")
 
 
-def _jaccard_on_candidates(sh: DataFrame) -> DataFrame:
+def _jaccard_on_candidates(docs_named: DataFrame) -> DataFrame:
     """(id_a, id_b, jac) — exact Jaccard (×1000, double) computed on LSH
     candidate pairs ONLY; the shared verify stage behind dedup_lsh_jaccard
-    and dedup_clusters."""
-    cand = _lsh_candidates(sh)
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a_sh = sh.select(F.col("doc_id").alias("id_a"), "sh")
-    b_sh = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    and dedup_clusters. ``docs_named`` is a (doc_id, text) frame.
+
+    Cardinalities ride along the exploded shingle rows
+    (``_shingles_with_card``): every a/b-side row already carries its
+    doc's |shingles|, so the per-pair |A| and |B| fall out of the
+    intersection groupBy as ``first(n)`` — two whole card joins and
+    their exchanges are gone, and the gram regex runs once per join
+    side, never for a separate count frame."""
+    shc = _shingles_with_card(docs_named)
+    cand = _lsh_candidates(shc.select("doc_id", "sh"))
+    a_sh = shc.select(F.col("doc_id").alias("id_a"),
+                      F.col("n").alias("na"), "sh")
+    b_sh = shc.select(F.col("doc_id").alias("id_b"),
+                      F.col("n").alias("nb"), "sh")
     inter = (
         cand.join(a_sh, "id_a")
         .join(b_sh, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("i"))
-    )
-    j = (
-        inter.join(card.withColumnRenamed("doc_id", "id_a")
-                   .withColumnRenamed("n", "na"), "id_a")
-        .join(card.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("n", "nb"), "id_b")
+        .agg(F.count("*").alias("i"),
+             F.first("na").alias("na"), F.first("nb").alias("nb"))
     )
     jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
-    return j.select("id_a", "id_b", jac.alias("jac"))
+    return inter.select("id_a", "id_b", jac.alias("jac"))
 
 
 # --- n-gram Jaccard (exact, SMALL-SCALE verification variant) --------------
@@ -286,22 +311,17 @@ def dedup_jaccard_exact_smallscale(
             "scale — use dedup_lsh_jaccard (LSH-pruned exact Jaccard) "
             "or raise pii_spark.ops.dedup.JACCARD_EXACT_MAX_DOCS if you "
             "really mean it")
-    sh = _shingles(docs)
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    shc = _shingles_with_card(docs)
+    a, b = shc.alias("a"), shc.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"),
                  F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("i"))
+        .agg(F.count("*").alias("i"),
+             F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
     )
-    j = (
-        inter.join(card.withColumnRenamed("doc_id", "id_a")
-                   .withColumnRenamed("n", "na"), "id_a")
-        .join(card.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("n", "nb"), "id_b")
-    )
+    j = inter
     jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         j.where(jac >= 500)
@@ -409,8 +429,8 @@ def register_queries(register) -> None:
         Shuffle discipline: LSH shuffles (band_key, doc_id); verification
         shuffles (doc_id, sh) keyed to the candidate sides. Text never moves.
         """
-        sh = _shingles(_near_union_df(spark, sf_dir))
-        p = _jaccard_on_candidates(sh)
+        u = _near_union_df(spark, sf_dir)
+        p = _jaccard_on_candidates(u)
         return (
             p.select("id_a", "id_b",
                      F.floor(F.col("jac")).cast("long").alias("jac_pm"),
@@ -467,8 +487,7 @@ def register_queries(register) -> None:
         components via a recursive CTE (transitive closure + min) — an
         entirely independent algorithm for the same answer."""
         u = _near_union_df(spark, sf_dir)
-        sh = _shingles(u)
-        dup = _jaccard_on_candidates(sh).where("jac >= 500") \
+        dup = _jaccard_on_candidates(u).where("jac >= 500") \
             .select("id_a", "id_b")
         verts = u.select(F.col("doc_id").alias("id"))
         assign = connected_components(verts, dup)
@@ -502,26 +521,38 @@ def register_queries(register) -> None:
         """16-bit SimHash from token md5 hex nibbles: per bit position, the
         sign of the +1/-1 token vote sum. Exact duplicates get identical
         signatures (injected copies prove it); near-dups differ in few bits.
-        One explode + one groupBy — shuffles (doc_id, tok) only."""
+
+        DOC-LOCAL (VERDICT r5 #6): the votes are per-document arithmetic,
+        so they fold in ONE ``aggregate`` over the token-hash array with a
+        16-lane accumulator — zero explode, zero shuffle (the former
+        explode + groupBy moved every (doc_id, tok) row through an
+        exchange keyed only by doc-local values; measured 2x slower at
+        sf1.0). The HOF lambda is the SAFE interpreted shape: O(lanes)
+        over the element and accumulator, no embedded re-tokenization."""
         u = _exact_union_df(spark, sf_dir).where("doc_id % 1000000 < 100")
-        toks = u.select(
-            "doc_id",
-            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+        arr = F.filter(F.split("text", " "), lambda t: t != "")
+        staged = u.withColumn("hs", F.transform(arr, lambda t: F.md5(t)))
+        hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+        def merge(acc, h):
+            return F.array(*[
+                acc.getItem(j) + F.when(
+                    F.substring(h, j + 1, 1).isin(*hi), 1).otherwise(-1)
+                for j in range(16)
+            ])
+
+        sums = F.aggregate(F.col("hs"),
+                           F.array(*[F.lit(0) for _ in range(16)]), merge)
+        return (
+            staged.withColumn("ss", sums)
+            .select(
+                "doc_id",
+                F.concat(*[
+                    F.when(F.col("ss").getItem(j) > 0, "1").otherwise("0")
+                    for j in range(16)
+                ]).alias("simhash"),
+            ).orderBy("doc_id")
         )
-        toks = toks.withColumn("h", F.md5("tok"))
-        votes = [
-            F.when(F.substring("h", j + 1, 1).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
-            for j in range(16)
-        ]
-        bits = toks.groupBy("doc_id").agg(*[
-            F.when(F.sum(votes[j]) > 0, "1").otherwise("0").alias(f"bit{j}")
-            for j in range(16)
-        ])
-        return bits.select(
-            "doc_id",
-            F.concat(*[F.col(f"bit{j}") for j in range(16)]).alias("simhash"),
-        ).orderBy("doc_id")
 
 
 def line_dedup(docs: DataFrame, max_doc_freq: int,
@@ -695,8 +726,10 @@ def near_dedup_against_corpus(
     ``curation.curate`` (or ``dedup_lsh_jaccard``) within the batch."""
     if not 0 <= jaccard_pm <= 1000:
         raise ValueError(f"jaccard_pm must be in [0, 1000]: {jaccard_pm}")
-    new_sh = _shingles(new_docs.select(F.col(id_col).alias("doc_id"),
-                                       F.col(text_col).alias("text")))
+    new_named = new_docs.select(F.col(id_col).alias("doc_id"),
+                                F.col(text_col).alias("text"))
+    new_shc = _shingles_with_card(new_named)
+    new_sh = new_shc.select("doc_id", "sh")
     cand = (
         _band_keys(new_sh).alias("n")
         .join(band_index.alias("c"),
@@ -706,27 +739,28 @@ def near_dedup_against_corpus(
                 F.col("c.doc_id").alias("com_id"))
         .distinct()
     )
-    com_sh = _shingles(
+    com_named = (
         committed.select(F.col(id_col).alias("doc_id"),
                          F.col(text_col).alias("text"))
         .join(cand.select(F.col("com_id").alias("doc_id")).distinct(),
               "doc_id", "left_semi")
     )
-    card_new = new_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
-    card_com = com_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    com_shc = _shingles_with_card(com_named)
+    # cardinalities ride along the exploded rows (VERDICT r5 #6): no
+    # per-doc count frames, no card joins, no extra gram pass
     inter = (
-        cand.join(new_sh.select(F.col("doc_id").alias("new_id"), "sh"),
-                  "new_id")
-        .join(com_sh.select(F.col("doc_id").alias("com_id"), "sh"),
+        cand.join(new_shc.select(F.col("doc_id").alias("new_id"),
+                                 F.col("n").alias("na"), "sh"), "new_id")
+        .join(com_shc.select(F.col("doc_id").alias("com_id"),
+                             F.col("n").alias("nb"), "sh"),
               ["com_id", "sh"])
         .groupBy("new_id", "com_id")
-        .agg(F.count("*").alias("i"))
+        .agg(F.count("*").alias("i"),
+             F.first("na").alias("na"), F.first("nb").alias("nb"))
     )
     jac = F.col("i") * 1000.0 / (F.col("na") + F.col("nb") - F.col("i"))
     losers = (
-        inter.join(card_new.withColumnRenamed("doc_id", "new_id"), "new_id")
-        .join(card_com.withColumnRenamed("doc_id", "com_id"), "com_id")
-        .where(jac >= jaccard_pm)
+        inter.where(jac >= jaccard_pm)
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
