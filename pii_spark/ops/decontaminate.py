@@ -158,10 +158,22 @@ def contamination(
             benchmarks, n=n, text_col=bench_text_col or text_col)
     else:
         if "n" in bench_keys.columns:
-            # loud runtime guard, not a silent filter: probing with a
-            # mismatched n would match zero grams and pass every
-            # contaminated doc as clean (fail-open). Pre-"n"-column
-            # artifacts skip the check (the caller owns n, as before).
+            # PRE-FLIGHT (VERDICT r5 #5): read ONE artifact row now, on
+            # the driver, and refuse a mismatched n in seconds — before
+            # any corpus work is even scheduled. The artifact is a plain
+            # parquet scan, so first() costs one row of one file.
+            first = bench_keys.select("n").first()
+            if first is not None and first["n"] != n:
+                raise ValueError(
+                    f"benchmark_gram_keys artifact records a different n "
+                    f"(n={first['n']}) than contamination(n={n}) — "
+                    f"probing with a mismatched n would match zero grams "
+                    f"and pass every contaminated doc as clean "
+                    f"(fail-open); rebuild the artifact or pass the n it "
+                    f"records")
+            # ... and keep the row-by-row guard: the pre-flight samples
+            # one row, but a corrupt artifact MIXING n values must still
+            # die loudly at probe time, not silently fail open.
             bench_keys = bench_keys.where(F.assert_true(
                 F.col("n") == F.lit(n),
                 f"benchmark_gram_keys artifact was built with a "

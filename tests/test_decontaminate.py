@@ -292,3 +292,19 @@ def test_bench_keys_wrong_n_fails_loudly(frames, tmp_path):
     # a pre-"n"-column artifact (legacy) skips the guard
     legacy = keys.select("gh")
     assert contamination(corpus, bench_keys=legacy, n=12).count() > 0
+
+def test_bench_keys_wrong_n_preflights_before_corpus_scan(frames, tmp_path):
+    """The wrong-n failure must fire in the DRIVER pre-flight (one artifact
+    row), before any corpus work runs: probe with a corpus whose evaluation
+    would itself raise — if the corpus were scanned first (or at all), the
+    error would be the corpus poison, not the artifact ValueError."""
+    corpus, bench, _, _ = frames
+    spark = corpus.sparkSession
+    path = str(tmp_path / "k13pf")
+    benchmark_gram_keys(bench, n=13).write.parquet(path)
+    keys = spark.read.parquet(path)
+    poisoned = corpus.withColumn(
+        "text", F.assert_true(F.lit(False), "corpus was scanned").cast(
+            "string"))
+    with pytest.raises(ValueError, match="different n"):
+        contamination(poisoned, bench_keys=keys, n=12)
