@@ -157,12 +157,10 @@ def mixplane_fixed_cost(repeats: int = 2, sizes=(8, 32),
         w = (t_lo - t_hi) / (1.0 / c_lo - 1.0 / c_hi)
         fixed = t_lo - w / c_lo
         eff = (t_lo / t_hi) / (c_hi / c_lo)
-        eff_nofix = ((w / c_lo) / (w / c_hi)) / (c_hi / c_lo)
         out["sizes"][str(scale)] = {
             "n_docs": r["n_docs"], "sec_2c": round(t_lo, 2),
             "sec_8c": round(t_hi, 2), "fixed_s": round(fixed, 2),
             "work_s": round(w, 2), "eff": round(eff, 3),
-            "eff_without_fixed": round(eff_nofix, 3),
         }
         lines += [
             f"## scale={scale} ({r['n_docs']} docs, "
@@ -171,10 +169,7 @@ def mixplane_fixed_cost(repeats: int = 2, sizes=(8, 32),
             f"- measured: {t_lo:.1f} s @ {c_lo}c -> {t_hi:.1f} s @ "
             f"{c_hi}c, efficiency **{eff:.3f}**",
             f"- fit: F = {fixed:.1f} s fixed, W = {w:.1f} s of "
-            f"perfectly-parallel work",
-            f"- efficiency with F removed: **{eff_nofix:.3f}** (the "
-            f"cluster-scale regime, where stages run minutes and F "
-            f"stays seconds)",
+            f"parallel work",
             "",
         ]
     sc = [out["sizes"][str(s)] for s in sizes]
