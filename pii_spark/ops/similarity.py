@@ -109,6 +109,39 @@ def knn_bruteforce_frame(e: DataFrame, n_queries: int = _N_QUERIES,
     return _rank_topk(scored, k)
 
 
+def _pair_dot_scorer(eq: DataFrame, n_queries: int):
+    """(qids, dot_q) for candidate-pair scoring: ``dot_q(e, query_id)`` is
+    the exact int64 dot of a row's quantized vector with THAT query's
+    vector, via one Arrow (B,dim)@(dim,nq) matmul plus a row gather per
+    batch — the HOF per-element form paid ~dim interpreted dispatches per
+    scored pair. The query fetch is the same n_queries-row driver
+    round-trip ``F.broadcast`` performed implicitly (see
+    ``knn_bruteforce_frame``); quantization stays JVM-side."""
+    qrows = eq.where(f"vec_id < {n_queries}").orderBy("vec_id").collect()
+    qids = np.asarray([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    qmat = (np.asarray([r["e"] for r in qrows], dtype=np.int64).T
+            if len(qrows) else np.zeros((0, 0), dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def dot_q(e: pd.Series, qid: pd.Series) -> pd.Series:
+        m = np.vstack(e.to_numpy()).astype(np.int64, copy=False)
+        prod = m @ qmat  # exact int64
+        cols = np.searchsorted(qids, qid.to_numpy().astype(np.int64))
+        return pd.Series(prod[np.arange(len(cols)), cols])
+
+    return qids, dot_q
+
+
+def _plane_weights(table: int, planes: int) -> np.ndarray:
+    """(dim, planes) int64 weight matrix — the same global-sequence
+    formula ``_bucket_expr`` evaluates per element: plane g = table*planes
+    + j, dim i (1-based) -> ((g*64 + i) * 2654435761) % 19 - 9."""
+    g = (np.int64(table) * planes
+         + np.arange(planes, dtype=np.int64))[None, :]
+    i = np.arange(1, _DIM + 1, dtype=np.int64)[:, None]
+    return (g * 64 + i) * np.int64(2654435761) % 19 - 9
+
+
 def _bucket_expr(col, table: int, planes: int):
     """Sign-bit bucket key for hash table ``table``: planes are drawn from a
     single deterministic global sequence (global plane g = table*planes+j,
@@ -168,15 +201,26 @@ def knn_lsh_frame(
     # bucket per table before the NULL dots rank)
     eq = e.where(F.col("embedding").isNotNull()) \
         .select("vec_id", _quant("embedding").alias("e"))
+    # all tables' sign-bit buckets in ONE Arrow matmul per batch (the
+    # per-element HOF form paid tables x planes x dim interpreted
+    # dispatches per row); weights and comparisons are exact int64, so
+    # the bucket strings are byte-identical to _bucket_expr's
+    wmats = np.concatenate(
+        [_plane_weights(t, planes) for t in range(tables)], axis=1)
+
+    @F.pandas_udf("array<string>")
+    def _buckets(ev: pd.Series) -> pd.Series:
+        m = np.vstack(ev.to_numpy()).astype(np.int64, copy=False)
+        bits = np.where(m @ wmats > 0, "1", "0")  # (B, tables*planes)
+        return pd.Series([
+            ["".join(row[t * planes:(t + 1) * planes])
+             for t in range(tables)]
+            for row in bits
+        ])
+
     keyed = eq.select(
         "vec_id", "e",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     _bucket_expr(F.col("e"), t, planes).alias("bucket"))
-            for t in range(tables)
-        ])).alias("tb"),
-    ).select("vec_id", "e", F.col("tb.tbl").alias("tbl"),
-             F.col("tb.bucket").alias("bucket"))
+        F.posexplode(_buckets("e")).alias("tbl", "bucket"))
 
     def flip(col: F.Column, j: int) -> F.Column:
         return F.concat(
@@ -210,14 +254,11 @@ def knn_lsh_frame(
         # a pair found by several tables/probes must score ONCE
         .dropDuplicates(["query_id", "vec_id"])
     )
-    qvecs = F.broadcast(
-        eq.where(f"vec_id < {n_queries}")
-        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")))
+    _qids, dot_q = _pair_dot_scorer(eq, n_queries)
     scored = (
         cand.join(eq, "vec_id")
-        .join(qvecs, "query_id")
         .select("query_id", "vec_id",
-                _qdot(F.col("qe"), F.col("e")).alias("qdot"))
+                dot_q("e", "query_id").alias("qdot"))
     )
     return _rank_topk(scored, k)
 
@@ -402,27 +443,38 @@ def _register_ivf(register) -> None:
         assignment cross-join is corpus x 8 tiny broadcast rows, one pass."""
         from pyspark.sql import Window
 
-        v = _t(spark, sf_dir, "embeddings").select(
-            "vec_id", _quant("embedding").alias("e"))
-        cent = v.where(f"vec_id < {n_cent}").select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            F.col("qd").desc(), F.col("cid"))
-        assign = (
-            v.crossJoin(F.broadcast(cent))
-            .withColumn("qd", _qdot(F.col("e"), F.col("ce")))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .where("rn = 1")
-            .select("vec_id", "e", "cid")
-        )
+        v = _t(spark, sf_dir, "embeddings") \
+            .where(F.col("embedding").isNotNull()) \
+            .select("vec_id", _quant("embedding").alias("e"))
+        # centroid assignment in ONE Arrow matmul per batch: argmax over
+        # the (B,8) dot matrix picks the FIRST maximum, i.e. the lowest
+        # cid among ties — exactly the old row_number(qd desc, cid asc)
+        # tie-break; dots are exact int64 either way
+        crows = v.where(f"vec_id < {n_cent}").orderBy("vec_id").collect()
+        cids = np.asarray([int(r["vec_id"]) for r in crows],
+                          dtype=np.int64)
+        if cids.size == 0:
+            return _rank_topk(
+                v.select(F.lit(0).cast("long").alias("query_id"),
+                         "vec_id", F.lit(0).cast("long").alias("qdot"))
+                .where(F.lit(False)), _K)
+        cmat = np.asarray([r["e"] for r in crows], dtype=np.int64).T
+
+        @F.pandas_udf("long")
+        def _cell(ev: pd.Series) -> pd.Series:
+            m = np.vstack(ev.to_numpy()).astype(np.int64, copy=False)
+            return pd.Series(cids[np.argmax(m @ cmat, axis=1)])
+
+        assign = v.select("vec_id", "e", _cell("e").alias("cid"))
         q = assign.where(f"vec_id < {_N_QUERIES}").select(
-            F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+            F.col("vec_id").alias("query_id"),
             F.col("cid").alias("qcell"))
+        _qids, dot_q = _pair_dot_scorer(v, _N_QUERIES)
         scored = (
             assign.join(F.broadcast(q),
                         (assign.cid == q.qcell)
                         & (assign.vec_id != q.query_id))
             .select("query_id", "vec_id",
-                    _qdot(F.col("qe"), F.col("e")).alias("qdot"))
+                    dot_q("e", "query_id").alias("qdot"))
         )
         return _rank_topk(scored, _K)

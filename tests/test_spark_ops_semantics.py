@@ -777,3 +777,35 @@ def test_shingles_match_hof_spec(spark):
     assert got == want
     # both emit per-doc DISTINCT shingles, so row counts must agree too
     assert _shingles(df).count() == _shingles_hof(df).count()
+
+
+def test_lsh_bucket_udf_matches_expr_spec(spark):
+    """The Arrow matmul bucket derivation (knn_lsh_frame's _buckets) must
+    produce byte-identical bucket strings to the per-element expression
+    spec ``_bucket_expr`` for every table."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pii_spark.ops.similarity import (
+        _DIM, _N_PLANES, _N_TABLES, _bucket_expr, _plane_weights, _quant)
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(_DIM)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    eq = df.select("vec_id", _quant("embedding").alias("e"))
+    spec = eq.select(
+        "vec_id", *[
+            _bucket_expr(F.col("e"), t, _N_PLANES).alias(f"b{t}")
+            for t in range(_N_TABLES)
+        ]).orderBy("vec_id").collect()
+    # recompute via the weight matrices the UDF uses
+    wmats = [
+        _plane_weights(t, _N_PLANES) for t in range(_N_TABLES)]
+    for r in spec:
+        e = np.asarray(
+            eq.where(F.col("vec_id") == r["vec_id"]).first()["e"],
+            dtype=np.int64)
+        for t in range(_N_TABLES):
+            bits = "".join(
+                "1" if v > 0 else "0" for v in (e @ wmats[t]))
+            assert bits == r[f"b{t}"], (r["vec_id"], t)
