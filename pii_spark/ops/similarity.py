@@ -97,7 +97,7 @@ def knn_bruteforce_frame(e: DataFrame, n_queries: int = _N_QUERIES,
     @F.pandas_udf("array<long>")
     def _dots(ce: pd.Series) -> pd.Series:
         m = np.vstack(ce.to_numpy()).astype(np.int64, copy=False)
-        return pd.Series(list(m @ qmat))  # exact int64 products
+        return pd.Series(list(_exact_matmul(m, qmat)))
 
     scored = (
         eq.select("vec_id", F.posexplode(_dots("ce")).alias("qi", "qdot"))
@@ -107,6 +107,23 @@ def knn_bruteforce_frame(e: DataFrame, n_queries: int = _N_QUERIES,
         .where(F.col("query_id") != F.col("vec_id"))
     )
     return _rank_topk(scored, k)
+
+
+def _exact_matmul(m: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Integer matrix product, through float64 BLAS when PROVABLY exact:
+    if dim · max|m| · max|w| < 2^53 every elementary product and partial
+    sum is an integer below 2^53, all exactly representable, so the BLAS
+    result equals the int64 product bit-for-bit (order-independent —
+    exact integers), at several times the speed of NumPy's non-BLAS
+    int64 path. Anything bigger falls back to int64."""
+    if m.size and w.size:
+        bound = (int(np.abs(m).max()) * int(np.abs(w).max())
+                 * int(m.shape[1]))
+        if bound < (1 << 53):
+            return np.rint(
+                m.astype(np.float64) @ w.astype(np.float64)
+            ).astype(np.int64)
+    return m @ w
 
 
 def _pair_dot_scorer(eq: DataFrame, n_queries: int):
@@ -125,7 +142,7 @@ def _pair_dot_scorer(eq: DataFrame, n_queries: int):
     @F.pandas_udf("long")
     def dot_q(e: pd.Series, qid: pd.Series) -> pd.Series:
         m = np.vstack(e.to_numpy()).astype(np.int64, copy=False)
-        prod = m @ qmat  # exact int64
+        prod = _exact_matmul(m, qmat)
         cols = np.searchsorted(qids, qid.to_numpy().astype(np.int64))
         return pd.Series(prod[np.arange(len(cols)), cols])
 
@@ -211,7 +228,7 @@ def knn_lsh_frame(
     @F.pandas_udf("array<string>")
     def _buckets(ev: pd.Series) -> pd.Series:
         m = np.vstack(ev.to_numpy()).astype(np.int64, copy=False)
-        bits = np.where(m @ wmats > 0, "1", "0")  # (B, tables*planes)
+        bits = np.where(_exact_matmul(m, wmats) > 0, "1", "0")
         return pd.Series([
             ["".join(row[t * planes:(t + 1) * planes])
              for t in range(tables)]
@@ -376,28 +393,55 @@ def register_queries(register) -> None:
         """Embedding-cosine near-dup detection: injected copies (vec_id %
         25 = 0 → +10000) must pair with their originals at cosine ≈ 1.
         Threshold compares qdot² ≥ 0.9999·‖a‖²‖b‖² in double — no float
-        similarity is ever emitted."""
+        similarity is ever emitted.
+
+        Scoring is one Arrow (B,dim)@(dim,P) int64 matmul per batch over
+        the (tiny, collected) probe matrix, with the threshold applied
+        vectorized — the same float64 ops (double·long, (0.9999·aa)·bb)
+        the former per-pair expression evaluated, on the same exact
+        integers. The crossJoin + 3 interpreted HOF dots per pair form
+        ran ~corpus × probes × 3 × dim lambda dispatches (it stopped
+        finishing at sf1.0's 20k×800 pairs; this finishes in ~1 s).
+        Probes ≪ corpus by the injection construction; corpus-scale
+        all-pairs similarity belongs to knn_lsh / knn_ivf, as SCALE.md
+        documents."""
         e = _t(spark, sf_dir, "embeddings").select(
             "vec_id", _quant("embedding").alias("e"))
         aug = e.unionByName(
             e.where("vec_id % 25 = 0")
             .select((F.col("vec_id") + 10000).alias("vec_id"), "e"))
-        probes = aug.where("vec_id >= 10000").select(
-            F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-        scored = (
-            aug.crossJoin(F.broadcast(probes))
-            .where(F.col("id_a") != F.col("vec_id"))
-            .select(
-                "id_a", F.col("vec_id").alias("id_b"),
-                _qdot(F.col("ea"), F.col("e")).alias("ab"),
-                _qdot(F.col("ea"), F.col("ea")).alias("aa"),
-                _qdot(F.col("e"), F.col("e")).alias("bb"),
-            )
+        prows = aug.where("vec_id >= 10000").orderBy("vec_id").collect()
+        pids = [int(r["vec_id"]) for r in prows]
+        if not pids:
+            return aug.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("vec_id").alias("id_b")).where(F.lit(False))
+        pmat = np.asarray([r["e"] for r in prows], dtype=np.int64).T
+        anorm = np.einsum("dp,dp->p", pmat, pmat)  # exact ‖a‖² per probe
+
+        @F.pandas_udf("array<int>")
+        def _hits(ev: pd.Series) -> pd.Series:
+            m = np.vstack(ev.to_numpy()).astype(np.int64, copy=False)
+            ab = _exact_matmul(m, pmat)        # (B, P) exact integers
+            bb = np.einsum("bd,bd->b", m, m)   # exact ‖b‖² per row
+            keep = (ab > 0) & (
+                ab.astype(np.float64) * ab
+                >= (np.float64(0.9999) * anorm) * bb[:, None])
+            return pd.Series([np.flatnonzero(row).tolist() for row in keep])
+
+        # the parquet scan yields a handful of partitions while the scorer
+        # is pure per-row compute: spread it over the cluster (a ~10 MB
+        # shuffle of quantized vectors buys corpus/cores-way parallelism
+        # for the B x P matmul)
+        par = spark.sparkContext.defaultParallelism
+        return (
+            aug.repartition(par)
+            .select("vec_id", F.explode(_hits("e")).alias("pi"))
+            .select(F.element_at(F.lit(pids), F.col("pi") + 1).alias("id_a"),
+                    F.col("vec_id").alias("id_b"))
+            .where(F.col("id_a") != F.col("id_b"))
+            .orderBy("id_a", "id_b")
         )
-        keep = (F.col("ab") > 0) & (
-            F.col("ab").cast("double") * F.col("ab")
-            >= 0.9999 * F.col("aa") * F.col("bb"))
-        return scored.where(keep).select("id_a", "id_b").orderBy("id_a", "id_b")
 
     _register_ivf(register)
 
@@ -463,7 +507,8 @@ def _register_ivf(register) -> None:
         @F.pandas_udf("long")
         def _cell(ev: pd.Series) -> pd.Series:
             m = np.vstack(ev.to_numpy()).astype(np.int64, copy=False)
-            return pd.Series(cids[np.argmax(m @ cmat, axis=1)])
+            return pd.Series(cids[np.argmax(_exact_matmul(m, cmat),
+                                            axis=1)])
 
         assign = v.select("vec_id", "e", _cell("e").alias("cid"))
         q = assign.where(f"vec_id < {_N_QUERIES}").select(
